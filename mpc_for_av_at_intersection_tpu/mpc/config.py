@@ -1,0 +1,127 @@
+"""MPC configuration.
+
+Replaces the reference's cwd-relative JSON + per-variant hard-coded module
+constants (``main/lib/mpc.py:13-36``, ``mpc_with_speed.py:16-40``,
+``mpc_jerk.py:16-40``) with one typed, immutable config. The three reference
+controller variants are factory methods; ``from_json`` still reads the
+reference's ``mpc_config.json`` schema for drop-in compatibility.
+
+All fields are Python floats/ints: configs are static under jit (baked as
+compile-time constants), so sweeping a weight triggers a recompile — sweeps
+that must avoid recompiles batch the weight as an array argument instead
+(see ``mpc/controller.py`` weight-override hooks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    # dimensions / discretization
+    T: int = 13                  # horizon length
+    dt: float = 0.2
+
+    # tracking cost (anisotropic xy + v/yaw), reference mpc.py:156-170
+    w_perp: float = 20.0         # perpendicular-to-reference weight
+    w_para: float = 1.0          # along-reference weight
+    q_v: float = 0.0
+    q_yaw: float = 0.5
+    qf: Tuple[float, float, float, float] = (1.0, 1.0, 0.0, 0.5)  # x T at end
+    end_input_weight: float = 10.0  # input cost once the ref end is reached
+
+    # input / input-rate cost
+    r_accel: float = 0.01
+    r_steer: float = 0.01
+    rd_accel: float = 0.01
+    rd_steer: float = 1.0
+
+    # limits (mpc_config.json + Simulation constants)
+    max_accel: float = 2.0
+    max_decel: float = -10.0
+    max_dsteer: float = math.radians(30.0)
+    max_steer: float = math.radians(45.0)
+    max_speed: float = 30.0 / 3.6
+    min_speed: float = -5.0
+
+    # goal test (mpc.py:310-326)
+    goal_dist: float = 1.5
+    stop_speed: float = 0.1389
+
+    max_iter: int = 1            # re-linearization iterations
+
+    # --- variant switches ---
+    # speed-reference yielding (mpc_with_speed.py): track a velocity channel
+    # that is `target_speed` along the path and 0 beyond the conflict cutoff
+    speed_ref: bool = False
+    target_speed: float = 25.0 / 3.6
+    # comfort variant (mpc_jerk.py): extra accel state + jerk penalty
+    jerk: bool = False
+    jerk_weight: float = 1.0
+
+    # solver controls
+    admm_rounds: int = 6         # outer rounds (refactorize + adapt rho)
+    admm_iters: int = 30         # inner iterations per round
+    admm_rho: float = 0.1
+    admm_sigma: float = 1e-6
+    admm_alpha: float = 1.6
+    polish: bool = True
+
+    @property
+    def nx(self) -> int:
+        return 5 if self.jerk else 4
+
+    @property
+    def nu(self) -> int:
+        return 2
+
+    @staticmethod
+    def canonical() -> "MPCConfig":
+        """The flagship controller (reference ``mpc.py`` + mpc_config.json)."""
+        return MPCConfig()
+
+    @staticmethod
+    def with_speed_ref() -> "MPCConfig":
+        """Yield-by-slowing variant (reference ``mpc_with_speed.py:16-40``)."""
+        return MPCConfig(
+            speed_ref=True,
+            w_perp=10.0,
+            q_v=20.0,
+            max_decel=-5.0,
+            target_speed=25.0 / 3.6,
+        )
+
+    @staticmethod
+    def with_jerk() -> "MPCConfig":
+        """Comfort variant (reference ``mpc_jerk.py:16-40``)."""
+        return MPCConfig(jerk=True, rd_accel=0.3, max_decel=-5.0)
+
+    @staticmethod
+    def from_json(path: str, **overrides) -> "MPCConfig":
+        """Read the reference ``mpc_config.json`` schema."""
+        with open(path) as f:
+            c = json.load(f)
+        kw = dict(
+            T=int(c["T"]),
+            w_perp=float(c["w_perp"]),
+            w_para=float(c["w_para"]),
+            r_accel=float(c["R"][0]),
+            r_steer=float(c["R"][1]),
+            rd_accel=float(c["Rd"][0]),
+            rd_steer=float(c["Rd"][1]),
+            q_v=float(c["Q_v_yaw"][0]),
+            q_yaw=float(c["Q_v_yaw"][1]),
+            qf=tuple(float(v) for v in c["Qf"]),
+            goal_dist=float(c["GOAL_DIS"]),
+            stop_speed=float(c["STOP_SPEED"]),
+            max_iter=int(c["MAX_ITER"]),
+            max_dsteer=math.radians(float(c["MAX_DSTEER"])),
+            max_accel=float(c["MAX_ACCEL"]),
+            max_decel=float(c["MAX_DECEL"]),
+        )
+        kw.update(overrides)
+        return MPCConfig(**kw)

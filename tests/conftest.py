@@ -22,3 +22,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# float64 available in tests so oracle comparisons can run the same code
+# paths in both precisions (device code is dtype-polymorphic; fp32 tests
+# pass explicit fp32 arrays).
+jax.config.update("jax_enable_x64", True)
