@@ -1,0 +1,110 @@
+"""Benchmark: batched MPC solves/s per chip at the N=20 bicycle horizon.
+
+Headline metric from BASELINE.md: >= 1000 concurrent intersection MPC
+solves/s on a v5e-16 => >= 62.5 solves/s/chip. One "solve" is a full
+controller tick — course localization, velocity-lookahead reference,
+nonlinear operating rollout, linearization, condensing, ADMM + polish —
+i.e. what the reference does per tick through CVXPY/ECOS.
+
+Prints ONE JSON line on stdout.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+HORIZON = 20
+BATCH = 4096
+N_COURSE = 512
+STEADY_ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_for_av_at_intersection_tpu.core.angles import smooth_yaw_numpy
+    from mpc_for_av_at_intersection_tpu.models import bicycle_geometry
+    from mpc_for_av_at_intersection_tpu.mpc import (
+        MPCConfig,
+        init_controller_state,
+        mpc_step,
+    )
+
+    geom = bicycle_geometry()
+    cfg = MPCConfig(T=HORIZON)
+    dtype = jnp.float32
+
+    # realistic per-scenario tracking instances: smooth random courses,
+    # ego states near the course with varying speed
+    rng = np.random.default_rng(0)
+    dl = 0.083
+    turn = rng.normal(0.0, 0.01, size=(BATCH, N_COURSE)).cumsum(axis=1)
+    yaw = rng.uniform(-np.pi, np.pi, size=(BATCH, 1)) + turn
+    xy = np.cumsum(np.stack([np.cos(yaw), np.sin(yaw)], axis=-1) * dl, axis=1)
+    course = np.concatenate([xy, yaw[..., None]], axis=-1)
+    for b in range(0, BATCH, max(BATCH // 64, 1)):
+        course[b, :, 2] = smooth_yaw_numpy(course[b, :, 2])
+    i0 = rng.integers(3, 40, size=BATCH)
+    state = np.stack(
+        [
+            course[np.arange(BATCH), i0, 0] + rng.normal(0, 0.2, BATCH),
+            course[np.arange(BATCH), i0, 1] + rng.normal(0, 0.2, BATCH),
+            rng.uniform(0.0, 8.0, BATCH),
+            course[np.arange(BATCH), i0, 2] + rng.normal(0, 0.1, BATCH),
+        ],
+        axis=1,
+    )
+
+    course_j = jnp.asarray(course, dtype)
+    state_j = jnp.asarray(state, dtype)
+    cv = jnp.zeros((BATCH, N_COURSE), dtype)
+    valid_len = jnp.full((BATCH,), N_COURSE, jnp.int32)
+    dl_j = jnp.full((BATCH,), dl, dtype)
+    cs0 = init_controller_state(cfg, dtype)
+    cs = jax.tree.map(lambda x: jnp.broadcast_to(x, (BATCH,) + x.shape), cs0)
+
+    @jax.jit
+    def solve_batch(state, course, cv, valid_len, dl, cs):
+        out = jax.vmap(
+            lambda s, c, v, n, d, k: mpc_step(s, c, v, n, d, k, cfg, geom.wheelbase)
+        )(state, course, cv, valid_len, dl, cs)
+        return out.accel, out.steer, out.state
+
+    # warmup / compile
+    t0 = time.time()
+    a, d, cs1 = solve_batch(state_j, course_j, cv, valid_len, dl_j, cs)
+    jax.block_until_ready((a, d))
+    compile_s = time.time() - t0
+
+    # steady state: feed the updated controller state back (warm-started
+    # solves, like a real receding-horizon fleet)
+    t0 = time.time()
+    for _ in range(STEADY_ITERS):
+        a, d, cs1 = solve_batch(state_j, course_j, cv, valid_len, dl_j, cs1)
+    jax.block_until_ready((a, d))
+    dt_iter = (time.time() - t0) / STEADY_ITERS
+
+    solves_per_sec = BATCH / dt_iter
+    target_per_chip = 1000.0 / 16.0
+    print(
+        json.dumps(
+            {
+                "metric": "mpc_solves_per_sec_per_chip_T20",
+                "value": round(solves_per_sec, 1),
+                "unit": "solves/s/chip",
+                "vs_baseline": round(solves_per_sec / target_per_chip, 2),
+            }
+        )
+    )
+    print(
+        f"# batch={BATCH} iter_time={dt_iter*1e3:.1f}ms compile={compile_s:.1f}s "
+        f"device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -96,7 +96,9 @@ def _roundabout_steer(p: AgentParams, pose):
 
 
 def _arterial_steer(p: AgentParams, pose):
-    return jnp.zeros((), pose.dtype), pose
+    # zero steer, expressed via the input so every lax.switch branch has the
+    # same varying-axis type under shard_map
+    return pose[2] * 0.0, pose
 
 
 def _control_one(p_row: AgentParams, pose, counter, dt):

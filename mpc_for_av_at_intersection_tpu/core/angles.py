@@ -36,6 +36,31 @@ def _smooth_step(prev_adj, raw_next):
     return adj, adj
 
 
+def smooth_yaw_numpy(yaw):
+    """Host-side (NumPy, float64) twin of ``smooth_yaw`` for scenario setup.
+
+    Replicates a load-bearing reference quirk: ``MPC.__init__`` smooths the
+    course yaw *in place through a NumPy view of the full trajectory array*
+    (mpc.py:257 mutates ``trajectory_full[:, 2]``), so even though
+    ``set_trajectory_fromarray`` later re-reads the "raw" trajectory every
+    tick, the yaw it reads has already been permanently unwrapped. Engine
+    setup therefore smooths the course yaw exactly once, here.
+    """
+    import numpy as np
+
+    yaw = np.asarray(yaw, dtype=np.float64).copy()
+    half_pi = np.pi / 2.0
+    two_pi = 2.0 * np.pi
+    for i in range(len(yaw) - 1):
+        d = yaw[i + 1] - yaw[i]
+        if d >= half_pi:
+            yaw[i + 1] -= two_pi * (np.floor((d - half_pi) / two_pi) + 1.0)
+            d = yaw[i + 1] - yaw[i]
+        if d <= -half_pi:
+            yaw[i + 1] += two_pi * (np.floor((-half_pi - d) / two_pi) + 1.0)
+    return yaw
+
+
 def smooth_yaw(yaw, valid_mask=None):
     """Sequentially unwrap a course-yaw array so consecutive deltas avoid
     +-pi jumps (behavioral twin of reference ``smooth_yaw``).

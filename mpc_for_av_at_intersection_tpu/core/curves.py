@@ -98,7 +98,7 @@ def nearest_index(xy, traj_xy, start_idx=0, valid_len=None):
     if valid_len is None:
         valid_len = traj_xy.shape[0]
     d2 = _masked_sq_dist(xy, traj_xy, start_idx, valid_len)
-    return jnp.argmin(d2)
+    return jnp.argmin(d2).astype(jnp.int32)
 
 
 def nearest_index_in_direction(xy, traj_xy, start_idx, valid_len, forward: bool = True):
@@ -128,4 +128,4 @@ def nearest_index_in_direction(xy, traj_xy, start_idx, valid_len, forward: bool 
 
     return jnp.where(
         n_avail >= 3, res3, jnp.where(n_avail == 2, res2, start_idx)
-    )
+    ).astype(jnp.int32)

@@ -1,0 +1,302 @@
+"""The jitted closed-loop receding-horizon engine.
+
+Functional rebuild of the reference scenario drivers' main loop
+(``main/scenarios/mpc_intersection.py:95-159``): per tick —
+
+1. goal test (on the previous tick's controller state),
+2. advance the driver's own course-localization index (frozen once the
+   cut course has collapsed to the agent's position, :100-105),
+3. ego reachability resampling of the remaining course (:110-116),
+4. constant-control prediction of every moving agent (:119-122),
+5. frame-windowed conflict scan (:125-126),
+6. course cutoff before the conflict minus a car-length margin (:129-136)
+   — or, in speed-reference mode, zeroing of the reference speed past the
+   conflict (``mpc_intersection_new_ref.py:122-139``),
+7. MPC solve, 8. agents step, 9. plant step.
+
+One scenario = one call of ``engine_tick``; an episode is a ``lax.scan``;
+a fleet of scenarios is a ``vmap``/``shard_map`` over the leading axis
+(see ``parallel/``). Finished scenarios freeze in place so a batch can run
+to a fixed step count without ragged control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..agents import (
+    AgentParams,
+    AgentStates,
+    agents_get,
+    agents_step,
+    check_collision_moving_cars,
+    cutoff_index_by_position,
+    predict_constant_control,
+)
+from ..core.curves import compact_by_mask, nearest_index_in_direction, resample_mask
+from ..core.dynamics import SimLimits, plant_step
+from ..models import VehicleGeometry
+from ..mpc.config import MPCConfig
+from ..mpc.controller import (
+    ControllerState,
+    init_controller_state,
+    is_goal,
+    mpc_step,
+    xref_deviation,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    mpc: MPCConfig = MPCConfig.canonical()
+    n_traj: int = 1024          # padded course buffer
+    n_frames: int = 128         # frame buffer for the conflict scan
+    n_agents: int = 4           # padded moving-agent slots
+    time_horizon: float = 7.0   # prediction horizon [s]
+    frame_window: int = 20
+    yield_by_speed: bool = False  # True: speed-ref variant (keep full path)
+
+    @property
+    def n_pred(self) -> int:
+        return int(np.ceil(self.time_horizon / self.mpc.dt))
+
+
+class WorldArrays(NamedTuple):
+    """Per-scenario constants (batchable along a leading axis)."""
+
+    course: jnp.ndarray        # (n_traj, 3) padded full reference trajectory
+    n_course: jnp.ndarray      # () int32
+    dl: jnp.ndarray            # () course tick
+    goal_xy: jnp.ndarray       # (2,) original course end
+    agent_params: AgentParams  # padded (n_agents,) rows
+
+
+class EngineState(NamedTuple):
+    ego: jnp.ndarray           # (4,) x, y, v, yaw
+    ctrl: ControllerState
+    agents: AgentStates
+    cutoff_len: jnp.ndarray    # () int32 current course valid length
+    agent_idx: jnp.ndarray     # () int32 driver-side localization index
+    first_tick: jnp.ndarray    # () bool
+    done: jnp.ndarray          # () bool
+    ticks_to_goal: jnp.ndarray  # () int32 (n_steps if never finished)
+    tick: jnp.ndarray          # () int32
+
+
+class Telemetry(NamedTuple):
+    """Per-tick telemetry (replaces the reference ``History``)."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    yaw: jnp.ndarray
+    v: jnp.ndarray
+    accel: jnp.ndarray
+    steer: jnp.ndarray
+    xref_dev: jnp.ndarray
+    solved: jnp.ndarray
+    collision_found: jnp.ndarray
+    collision_xy: jnp.ndarray
+    cutoff_len: jnp.ndarray
+    done: jnp.ndarray
+
+
+def make_world(
+    trajectory: np.ndarray,
+    agent_params: AgentParams,
+    cfg: EngineConfig,
+    dtype=jnp.float32,
+) -> WorldArrays:
+    """Pad a host-side reference trajectory into device world arrays.
+
+    The course yaw is sequentially unwrapped here, once — replicating the
+    reference's in-place ``smooth_yaw`` through a view of the trajectory
+    array (see ``core.angles.smooth_yaw_numpy``); without this, the +-pi
+    node normalization at lattice-edge boundaries injects 2*pi jumps into
+    the yaw-tracking cost.
+    """
+    from ..core.angles import smooth_yaw_numpy
+
+    n = len(trajectory)
+    if n > cfg.n_traj:
+        raise ValueError(f"trajectory length {n} > n_traj={cfg.n_traj}")
+    trajectory = np.asarray(trajectory, dtype=np.float64).copy()
+    trajectory[:, 2] = smooth_yaw_numpy(trajectory[:, 2])
+    course = np.zeros((cfg.n_traj, 3), dtype=np.float64)
+    course[:n] = trajectory
+    course[n:] = trajectory[-1]
+    dl = float(np.linalg.norm(trajectory[1, :2] - trajectory[0, :2]))
+    return WorldArrays(
+        course=jnp.asarray(course, dtype),
+        n_course=jnp.asarray(n, jnp.int32),
+        dl=jnp.asarray(dl, dtype),
+        goal_xy=jnp.asarray(trajectory[-1, :2], dtype),
+        agent_params=jax.tree.map(jnp.asarray, agent_params),
+    )
+
+
+def init_engine_state(
+    world: WorldArrays, agent_states: AgentStates, cfg: EngineConfig,
+    n_steps: int, dtype=jnp.float32,
+) -> EngineState:
+    ego = jnp.concatenate(
+        [world.course[0, :2], jnp.zeros((1,), dtype), world.course[0, 2:3]]
+    ).astype(dtype)
+    return EngineState(
+        ego=ego,
+        ctrl=init_controller_state(cfg.mpc, dtype),
+        agents=jax.tree.map(jnp.asarray, agent_states),
+        cutoff_len=world.n_course,
+        agent_idx=jnp.asarray(0, jnp.int32),
+        first_tick=jnp.asarray(True),
+        done=jnp.asarray(False),
+        ticks_to_goal=jnp.asarray(n_steps, jnp.int32),
+        tick=jnp.asarray(0, jnp.int32),
+    )
+
+
+def engine_tick(
+    world: WorldArrays,
+    st: EngineState,
+    cfg: EngineConfig,
+    geom: VehicleGeometry,
+):
+    mpc_cfg = cfg.mpc
+    dt = mpc_cfg.dt
+    course = world.course
+    N = course.shape[0]
+    dtype = course.dtype
+    limits = SimLimits(
+        max_steer=mpc_cfg.max_steer,
+        max_speed=mpc_cfg.max_speed,
+        min_speed=mpc_cfg.min_speed,
+    )
+    circle_centers = jnp.asarray(geom.circle_centers, dtype)
+
+    # 1. goal test against the PREVIOUS tick's controller/cutoff state
+    done_now = st.done | is_goal(
+        st.ego, world.goal_xy, st.ctrl.target_idx, st.cutoff_len, mpc_cfg
+    )
+
+    # 2. driver-side localization advance, frozen when the cut course has
+    #    already collapsed onto the agent (reference :100-105)
+    tip = course[jnp.maximum(st.cutoff_len - 1, 0)]
+    collapsed = jnp.all(course[st.agent_idx] == tip)
+    advance = st.first_tick | ~collapsed
+    agent_idx = jnp.where(
+        advance,
+        nearest_index_in_direction(
+            st.ego[:2], course[:, :2], st.agent_idx, world.n_course, forward=True
+        ),
+        st.agent_idx,
+    )
+
+    # remaining full-course suffix (detailed path)
+    rel = jnp.minimum(agent_idx + jnp.arange(N), N - 1)
+    detail = course[rel]
+    n_detail = world.n_course - agent_idx
+
+    # 3. ego reachability resample of the suffix (reference :110-116)
+    i = jnp.arange(N, dtype=dtype)
+    accel_dl = dt * jnp.minimum(st.ego[2] + mpc_cfg.max_accel * (i + 1.0), mpc_cfg.max_speed)
+    flat_dl = jnp.full((N,), dt * mpc_cfg.max_speed, dtype)
+    res_dl = jnp.where(st.ego[2] < mpc_cfg.max_speed, accel_dl, flat_dl)
+    valid_suffix = jnp.arange(N) < n_detail
+    keep = resample_mask(detail, res_dl, valid_suffix, keep_last=True)
+    ego_traj, n_ego = compact_by_mask(detail, keep, cfg.n_frames)
+
+    # 4. constant-control prediction of every agent (reference :119-122)
+    obs6 = agents_get(world.agent_params, st.agents, dt)
+    preds = predict_constant_control(obs6, dt, geom.wheelbase, cfg.n_pred)
+
+    # 5. conflict scan (reference :125-126)
+    scan = check_collision_moving_cars(
+        ego_traj, n_ego, detail, n_detail, preds,
+        world.agent_params.active, circle_centers, geom.radius,
+        cfg.frame_window, cfg.n_frames,
+    )
+
+    # 6. cutoff (reference :129-136): margin of ~a car length
+    margin = 4 * jnp.ceil(geom.radius / world.dl).astype(jnp.int32)
+    cut_found, cut_idx = cutoff_index_by_position(course, world.n_course, scan.xy)
+    use_cut = scan.found & cut_found
+    cut = jnp.maximum(agent_idx + 1, cut_idx - margin)
+    cutoff_len = jnp.where(use_cut, cut, world.n_course)
+
+    if cfg.yield_by_speed:
+        # speed-reference yielding: keep the full path, zero the reference
+        # speed from the cutoff on (mpc_with_speed.py:275-282)
+        course_len_for_mpc = world.n_course
+        cv = jnp.where(
+            jnp.arange(N) < cutoff_len,
+            jnp.asarray(mpc_cfg.target_speed, dtype),
+            jnp.asarray(0.0, dtype),
+        )
+    else:
+        course_len_for_mpc = cutoff_len
+        cv = jnp.zeros((N,), dtype)
+
+    # 7. MPC solve
+    out = mpc_step(
+        st.ego, course, cv, course_len_for_mpc, world.dl,
+        st.ctrl, mpc_cfg, geom.wheelbase,
+    )
+
+    dev = xref_deviation(st.ego, course, out.target_idx)
+
+    # 8. agents step  9. plant step
+    agents = agents_step(world.agent_params, st.agents, dt, geom.wheelbase)
+    control = jnp.stack([out.accel, out.steer])
+    ego = plant_step(st.ego, control, dt, geom.wheelbase, limits)
+
+    # freeze everything once done
+    def frz(new, old):
+        return jax.tree.map(
+            lambda a, b: jnp.where(done_now, b, a), new, old
+        )
+
+    new_st = EngineState(
+        ego=frz(ego, st.ego),
+        ctrl=frz(out.state, st.ctrl),
+        agents=frz(agents, st.agents),
+        cutoff_len=frz(cutoff_len, st.cutoff_len),
+        agent_idx=frz(agent_idx, st.agent_idx),
+        first_tick=jnp.asarray(False) | (st.first_tick & done_now),
+        done=done_now,
+        ticks_to_goal=jnp.where(
+            done_now & ~st.done, st.tick, st.ticks_to_goal
+        ),
+        tick=st.tick + 1,
+    )
+
+    tel = Telemetry(
+        x=new_st.ego[0], y=new_st.ego[1], yaw=new_st.ego[3], v=new_st.ego[2],
+        accel=jnp.where(done_now, 0.0, out.accel),
+        steer=jnp.where(done_now, 0.0, out.steer),
+        xref_dev=dev,
+        solved=out.solved | done_now,
+        collision_found=scan.found & ~done_now,
+        collision_xy=scan.xy,
+        cutoff_len=new_st.cutoff_len,
+        done=done_now,
+    )
+    return new_st, tel
+
+
+def run_episode(
+    world: WorldArrays,
+    state0: EngineState,
+    cfg: EngineConfig,
+    geom: VehicleGeometry,
+    n_steps: int,
+):
+    """Scan a full episode. Returns (final_state, stacked Telemetry)."""
+
+    def step(st, _):
+        return engine_tick(world, st, cfg, geom)
+
+    return jax.lax.scan(step, state0, None, length=n_steps)

@@ -59,7 +59,9 @@ def prediction_matrices(A, B, C, x0):
         gvec = At @ gvec + Ct
         return (row, gvec, t + 1), (row, gvec)
 
-    row0 = jnp.zeros((nx, T * nu), dtype)
+    # seed the carry from an input so its varying-axis type matches the scan
+    # output under shard_map
+    row0 = jnp.zeros((nx, T * nu), dtype) + x0[0] * 0.0
     (_, _, _), (F, g) = jax.lax.scan(step, (row0, x0, 0), (A, B, C))
     return F, g
 

@@ -121,10 +121,13 @@ def solve_box_qp(
     m = G.shape[0]
     dtype = P.dtype
 
-    x = jnp.zeros((n,), dtype)
-    z = jnp.clip(jnp.zeros((m,), dtype), lo, hi)
-    y = jnp.zeros((m,), dtype)
-    rho = jnp.asarray(rho0, dtype)
+    # init seeded from inputs so scan-carry varying-axis types line up
+    # under shard_map
+    zero = q[0] * 0.0
+    x = jnp.zeros((n,), dtype) + zero
+    z = jnp.clip(jnp.zeros((m,), dtype) + zero, lo, hi)
+    y = jnp.zeros((m,), dtype) + zero
+    rho = jnp.asarray(rho0, dtype) + zero
 
     state = (x, z, y, rho)
     runner = _admm_round(P, q, G, lo, hi, sigma, alpha, iters)

@@ -1,0 +1,87 @@
+"""Scale-out over the scenario batch axis: mesh + shard_map.
+
+The reference is strictly sequential single-process (SURVEY section 2.a);
+parallelism here is first-class new design. Within one scenario all coupling
+(vehicle pairs, the condensed QP) fits on a chip, so the only distributed
+axis is the *scenario batch*: episodes are sharded across devices with
+``shard_map`` (ICI within a slice, DCN across hosts) and cross-device
+communication is limited to ``psum`` metric aggregation — the
+collectives-for-scale-out-only design of SURVEY section 5.8.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.closed_loop import EngineConfig, EngineState, WorldArrays, run_episode
+from ..models import VehicleGeometry
+
+
+def batch_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or given) devices with a 'batch' axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), axis_names=("batch",))
+
+
+def stack_worlds(worlds) -> WorldArrays:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *worlds)
+
+
+def stack_states(states) -> EngineState:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def run_batch_episodes(
+    world_batch: WorldArrays,
+    state_batch: EngineState,
+    cfg: EngineConfig,
+    geom: VehicleGeometry,
+    n_steps: int,
+    mesh: Optional[Mesh] = None,
+):
+    """Run a batch of scenarios in lockstep.
+
+    Without a mesh: plain vmap (single device). With a mesh: shard_map over
+    the 'batch' axis — per-device vmap plus a psum'd fleet summary, so the
+    cross-device reduction rides ICI collectives.
+
+    Returns (final_states, telemetry, summary) where summary is a small
+    replicated dict: scenarios finished, ticks-to-goal sum, solve failures.
+    """
+    vrun = jax.vmap(lambda w, s: run_episode(w, s, cfg, geom, n_steps))
+
+    def summarize(final, tel):
+        return {
+            "n_done": jnp.sum(final.done.astype(jnp.int32)),
+            "ticks_to_goal_sum": jnp.sum(final.ticks_to_goal),
+            "n_unsolved_ticks": jnp.sum((~tel.solved).astype(jnp.int32)),
+        }
+
+    if mesh is None:
+        final, tel = vrun(world_batch, state_batch)
+        return final, tel, summarize(final, tel)
+
+    def shard_fn(w, s):
+        final, tel = vrun(w, s)
+        local = summarize(final, tel)
+        summary = jax.tree.map(lambda x: jax.lax.psum(x, "batch"), local)
+        return final, tel, summary
+
+    specs_in = (
+        jax.tree.map(lambda _: P("batch"), world_batch),
+        jax.tree.map(lambda _: P("batch"), state_batch),
+    )
+    out_shape = jax.eval_shape(vrun, world_batch, state_batch)
+    specs_out = (
+        jax.tree.map(lambda _: P("batch"), out_shape[0]),
+        jax.tree.map(lambda _: P("batch"), out_shape[1]),
+        {k: P() for k in ("n_done", "ticks_to_goal_sum", "n_unsolved_ticks")},
+    )
+    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=specs_in, out_specs=specs_out)
+    return fn(world_batch, state_batch)

@@ -24,6 +24,32 @@ def add_reference_paths():
             sys.path.insert(0, p)
 
 
+def stub_motion_primitive_module():
+    """Pre-register stub `lib.motion_primitive` / `main.lib.motion_primitive`
+    modules: the reference's MotionPrimitive dataclass has a mutable ndarray
+    default, which raises at class-definition time under Python 3.12, taking
+    down any module that imports it. The reference search code only reads
+    .points / .total_length off primitive objects."""
+    import types
+
+    class MotionPrimitive:
+        def __init__(self, name="", forward_speed=0.0, steering_angle=0.0,
+                     n_seconds=0.0, total_length=0.0, points=None):
+            self.name = name
+            self.forward_speed = forward_speed
+            self.steering_angle = steering_angle
+            self.n_seconds = n_seconds
+            self.total_length = total_length
+            self.points = points
+
+    for modname in ("lib.motion_primitive", "main.lib.motion_primitive"):
+        if modname not in sys.modules:
+            mod = types.ModuleType(modname)
+            mod.MotionPrimitive = MotionPrimitive
+            sys.modules[modname] = mod
+    return MotionPrimitive
+
+
 def load_ref_env(name: str):
     """Import a reference env module, e.g. load_ref_env('intersection')."""
     add_reference_paths()

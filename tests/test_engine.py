@@ -1,0 +1,128 @@
+"""Closed-loop engine tests: the flagship intersection scenario end-to-end.
+
+The reference validates its loop by eyeballing animations ("Works fine" /
+"Collision" annotations, scenarios/mpc_basic.py:76-169). Here that becomes
+numerical outcome checks: the ego must reach the goal, stop, never collide
+with the scripted traffic, and stay within actuator limits.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mpc_for_av_at_intersection_tpu.agents import make_t_intersection_agent, stack_agents
+from mpc_for_av_at_intersection_tpu.engine import (
+    EngineConfig,
+    init_engine_state,
+    make_world,
+    run_episode,
+)
+from mpc_for_av_at_intersection_tpu.lattice import (
+    MotionPrimitiveSearch,
+    SearchWeights,
+    primitive_table,
+)
+from mpc_for_av_at_intersection_tpu.models import bicycle_geometry
+from mpc_for_av_at_intersection_tpu.worlds import intersection
+
+N_STEPS = 150
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    geom = bicycle_geometry()
+    table = primitive_table(geom)
+    scenario = intersection(turn_indicator=1, start_pos=4)
+    search = MotionPrimitiveSearch(
+        scenario, geom, table, margin=geom.radius, weights=SearchWeights.modified()
+    )
+    _, _, trajectory = search.run()
+    return geom, trajectory
+
+
+def _agent_world_positions(tel_agents_x=None):
+    pass
+
+
+def test_flagship_episode_reaches_goal_without_collision(flagship):
+    geom, trajectory = flagship
+    cfg = EngineConfig()
+
+    # the flagship driver's two crossing vehicles (mpc_intersection.py:42-45)
+    rows = [
+        make_t_intersection_agent(direction=1, turning=False, speed=25 / 3.6, offset=2.0),
+        make_t_intersection_agent(direction=-1, turning=True, speed=25 / 3.6, offset=4.0),
+    ]
+    params, ag_states = stack_agents(rows, n_slots=cfg.n_agents)
+
+    world = make_world(trajectory, params, cfg)
+    st0 = init_engine_state(world, ag_states, cfg, N_STEPS)
+
+    run = jax.jit(lambda w, s: run_episode(w, s, cfg, geom, N_STEPS))
+    final, tel = run(world, st0)
+    tel = jax.tree.map(np.asarray, tel)
+
+    # 1. reaches the goal and stops
+    assert bool(final.done), "ego never reached the goal"
+    ticks = int(final.ticks_to_goal)
+    assert 20 < ticks < N_STEPS
+    goal = trajectory[-1, :2]
+    done_idx = ticks
+    assert np.hypot(tel.x[done_idx - 1] - goal[0], tel.y[done_idx - 1] - goal[1]) < 1.6
+    assert abs(tel.v[done_idx - 1]) < 0.15
+
+    # 2. every tick's QP solved
+    assert tel.solved.all(), f"unsolved ticks: {np.where(~tel.solved)[0]}"
+
+    # 3. never collides with the moving traffic: replay the agents open-loop
+    #    and check circle-to-circle clearance each tick
+    from mpc_for_av_at_intersection_tpu.agents import AgentStates, agents_get, agents_step
+
+    p = jax.tree.map(jnp.asarray, params)
+    s = AgentStates(jnp.asarray(ag_states.pose), jnp.asarray(ag_states.counter))
+    # NOTE: the reference's flagship config spawns the delayed second vehicle
+    # exactly on the ego's start pose (both (30, 3, pi)); clearance is only
+    # meaningful once it has pulled away, so start checking after its 4 s
+    # offset + a pull-away margin.
+    min_clear = np.inf
+    cc = geom.circle_centers
+    for k in range(ticks):
+        if k < 30:
+            s = agents_step(p, s, 0.2, geom.wheelbase)
+            continue
+        obs = np.asarray(agents_get(p, s, 0.2))[:2]  # the two active agents
+        ego = np.array([tel.x[k], tel.y[k]])
+        ego_yaw = tel.yaw[k]
+        for ox, oy, _, oyaw, _, _ in obs:
+            for cax, cay in cc:
+                for cbx, cby in cc:
+                    ea = ego + [np.cos(ego_yaw) * cax - np.sin(ego_yaw) * cay,
+                                np.sin(ego_yaw) * cax + np.cos(ego_yaw) * cay]
+                    ob = np.array([ox + np.cos(oyaw) * cbx - np.sin(oyaw) * cby,
+                                   oy + np.sin(oyaw) * cbx + np.cos(oyaw) * cby])
+                    min_clear = min(min_clear, np.linalg.norm(ea - ob))
+        s = agents_step(p, s, 0.2, geom.wheelbase)
+    assert min_clear > 2 * geom.radius * 0.7, f"clearance {min_clear}"
+
+    # 4. the conflict machinery actually engaged at least once (the scripted
+    #    traffic crosses the ego's path in this config)
+    assert tel.collision_found[:ticks].any(), "conflict scan never fired"
+
+    # 5. actuation within limits
+    assert np.all(tel.accel[:ticks] <= 2.0 + 1e-4)
+    assert np.all(tel.accel[:ticks] >= -10.0 - 1e-4)
+    assert np.all(np.abs(tel.steer[:ticks]) <= np.radians(45.0) + 1e-4)
+
+
+def test_flagship_episode_no_traffic_is_faster(flagship):
+    geom, trajectory = flagship
+    cfg = EngineConfig()
+    params, ag_states = stack_agents([], n_slots=cfg.n_agents)
+    world = make_world(trajectory, params, cfg)
+    st0 = init_engine_state(world, ag_states, cfg, N_STEPS)
+    run = jax.jit(lambda w, s: run_episode(w, s, cfg, geom, N_STEPS))
+    final, tel = run(world, st0)
+    assert bool(final.done)
+    assert not np.asarray(tel.collision_found).any()
