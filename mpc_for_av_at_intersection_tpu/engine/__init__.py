@@ -8,8 +8,22 @@ from .closed_loop import (
     make_world,
     run_episode,
 )
+from .multi_ego import (
+    MultiEgoState,
+    MultiEgoWorld,
+    init_multi_ego_state,
+    make_multi_ego_world,
+    multi_ego_tick,
+    run_multi_ego_episode,
+)
 
 __all__ = [
+    "MultiEgoState",
+    "MultiEgoWorld",
+    "init_multi_ego_state",
+    "make_multi_ego_world",
+    "multi_ego_tick",
+    "run_multi_ego_episode",
     "EngineConfig",
     "EngineState",
     "Telemetry",

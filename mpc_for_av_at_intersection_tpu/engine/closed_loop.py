@@ -159,15 +159,30 @@ def init_engine_state(
     )
 
 
-def engine_tick(
-    world: WorldArrays,
-    st: EngineState,
+def ego_subtick(
+    course,            # (N, 3) padded course for this ego
+    n_course,          # () int32
+    dl,                # ()
+    goal_xy,           # (2,)
+    ego,               # (4,)
+    ctrl: ControllerState,
+    cutoff_len,        # () int32 — previous tick's
+    agent_idx,         # () int32 — previous tick's
+    first_tick,        # () bool
+    done,              # () bool
+    preds,             # (n_obs, n_pred, 3) predicted obstacle trajectories
+    preds_active,      # (n_obs,) bool
     cfg: EngineConfig,
     geom: VehicleGeometry,
 ):
+    """One ego's control tick given pre-computed obstacle predictions.
+
+    Shared by the single-ego engine (scripted traffic) and the multi-ego
+    engine (where "obstacles" are the other egos + scripted traffic).
+    Returns (new per-ego state tuple, Telemetry, control).
+    """
     mpc_cfg = cfg.mpc
     dt = mpc_cfg.dt
-    course = world.course
     N = course.shape[0]
     dtype = course.dtype
     limits = SimLimits(
@@ -178,59 +193,53 @@ def engine_tick(
     circle_centers = jnp.asarray(geom.circle_centers, dtype)
 
     # 1. goal test against the PREVIOUS tick's controller/cutoff state
-    done_now = st.done | is_goal(
-        st.ego, world.goal_xy, st.ctrl.target_idx, st.cutoff_len, mpc_cfg
-    )
+    done_now = done | is_goal(ego, goal_xy, ctrl.target_idx, cutoff_len, mpc_cfg)
 
     # 2. driver-side localization advance, frozen when the cut course has
     #    already collapsed onto the agent (reference :100-105)
-    tip = course[jnp.maximum(st.cutoff_len - 1, 0)]
-    collapsed = jnp.all(course[st.agent_idx] == tip)
-    advance = st.first_tick | ~collapsed
+    tip = course[jnp.maximum(cutoff_len - 1, 0)]
+    collapsed = jnp.all(course[agent_idx] == tip)
+    advance = first_tick | ~collapsed
     agent_idx = jnp.where(
         advance,
         nearest_index_in_direction(
-            st.ego[:2], course[:, :2], st.agent_idx, world.n_course, forward=True
+            ego[:2], course[:, :2], agent_idx, n_course, forward=True
         ),
-        st.agent_idx,
+        agent_idx,
     )
 
     # remaining full-course suffix (detailed path)
     rel = jnp.minimum(agent_idx + jnp.arange(N), N - 1)
     detail = course[rel]
-    n_detail = world.n_course - agent_idx
+    n_detail = n_course - agent_idx
 
     # 3. ego reachability resample of the suffix (reference :110-116)
     i = jnp.arange(N, dtype=dtype)
-    accel_dl = dt * jnp.minimum(st.ego[2] + mpc_cfg.max_accel * (i + 1.0), mpc_cfg.max_speed)
+    accel_dl = dt * jnp.minimum(ego[2] + mpc_cfg.max_accel * (i + 1.0), mpc_cfg.max_speed)
     flat_dl = jnp.full((N,), dt * mpc_cfg.max_speed, dtype)
-    res_dl = jnp.where(st.ego[2] < mpc_cfg.max_speed, accel_dl, flat_dl)
+    res_dl = jnp.where(ego[2] < mpc_cfg.max_speed, accel_dl, flat_dl)
     valid_suffix = jnp.arange(N) < n_detail
     keep = resample_mask(detail, res_dl, valid_suffix, keep_last=True)
     ego_traj, n_ego = compact_by_mask(detail, keep, cfg.n_frames)
 
-    # 4. constant-control prediction of every agent (reference :119-122)
-    obs6 = agents_get(world.agent_params, st.agents, dt)
-    preds = predict_constant_control(obs6, dt, geom.wheelbase, cfg.n_pred)
-
     # 5. conflict scan (reference :125-126)
     scan = check_collision_moving_cars(
         ego_traj, n_ego, detail, n_detail, preds,
-        world.agent_params.active, circle_centers, geom.radius,
+        preds_active, circle_centers, geom.radius,
         cfg.frame_window, cfg.n_frames,
     )
 
     # 6. cutoff (reference :129-136): margin of ~a car length
-    margin = 4 * jnp.ceil(geom.radius / world.dl).astype(jnp.int32)
-    cut_found, cut_idx = cutoff_index_by_position(course, world.n_course, scan.xy)
+    margin = 4 * jnp.ceil(geom.radius / dl).astype(jnp.int32)
+    cut_found, cut_idx = cutoff_index_by_position(course, n_course, scan.xy)
     use_cut = scan.found & cut_found
     cut = jnp.maximum(agent_idx + 1, cut_idx - margin)
-    cutoff_len = jnp.where(use_cut, cut, world.n_course)
+    cutoff_len = jnp.where(use_cut, cut, n_course)
 
     if cfg.yield_by_speed:
         # speed-reference yielding: keep the full path, zero the reference
         # speed from the cutoff on (mpc_with_speed.py:275-282)
-        course_len_for_mpc = world.n_course
+        course_len_for_mpc = n_course
         cv = jnp.where(
             jnp.arange(N) < cutoff_len,
             jnp.asarray(mpc_cfg.target_speed, dtype),
@@ -241,48 +250,70 @@ def engine_tick(
         cv = jnp.zeros((N,), dtype)
 
     # 7. MPC solve
-    out = mpc_step(
-        st.ego, course, cv, course_len_for_mpc, world.dl,
-        st.ctrl, mpc_cfg, geom.wheelbase,
-    )
+    out = mpc_step(ego, course, cv, course_len_for_mpc, dl, ctrl, mpc_cfg, geom.wheelbase)
 
-    dev = xref_deviation(st.ego, course, out.target_idx)
+    dev = xref_deviation(ego, course, out.target_idx)
 
-    # 8. agents step  9. plant step
-    agents = agents_step(world.agent_params, st.agents, dt, geom.wheelbase)
     control = jnp.stack([out.accel, out.steer])
-    ego = plant_step(st.ego, control, dt, geom.wheelbase, limits)
+    new_ego = plant_step(ego, control, dt, geom.wheelbase, limits)
 
-    # freeze everything once done
+    # freeze this ego once done
     def frz(new, old):
-        return jax.tree.map(
-            lambda a, b: jnp.where(done_now, b, a), new, old
-        )
+        return jax.tree.map(lambda a, b: jnp.where(done_now, b, a), new, old)
 
-    new_st = EngineState(
-        ego=frz(ego, st.ego),
-        ctrl=frz(out.state, st.ctrl),
-        agents=frz(agents, st.agents),
-        cutoff_len=frz(cutoff_len, st.cutoff_len),
-        agent_idx=frz(agent_idx, st.agent_idx),
-        first_tick=jnp.asarray(False) | (st.first_tick & done_now),
-        done=done_now,
-        ticks_to_goal=jnp.where(
-            done_now & ~st.done, st.tick, st.ticks_to_goal
-        ),
-        tick=st.tick + 1,
-    )
+    ego_out = frz(new_ego, ego)
+    ctrl_out = frz(out.state, ctrl)
 
     tel = Telemetry(
-        x=new_st.ego[0], y=new_st.ego[1], yaw=new_st.ego[3], v=new_st.ego[2],
+        x=ego_out[0], y=ego_out[1], yaw=ego_out[3], v=ego_out[2],
         accel=jnp.where(done_now, 0.0, out.accel),
         steer=jnp.where(done_now, 0.0, out.steer),
         xref_dev=dev,
         solved=out.solved | done_now,
         collision_found=scan.found & ~done_now,
         collision_xy=scan.xy,
-        cutoff_len=new_st.cutoff_len,
+        cutoff_len=cutoff_len,
         done=done_now,
+    )
+    return (ego_out, ctrl_out, cutoff_len, agent_idx, done_now), tel
+
+
+def engine_tick(
+    world: WorldArrays,
+    st: EngineState,
+    cfg: EngineConfig,
+    geom: VehicleGeometry,
+):
+    dt = cfg.mpc.dt
+
+    # 4. constant-control prediction of every scripted agent (reference
+    #    :119-122) — computed once, outside the per-ego subtick
+    obs6 = agents_get(world.agent_params, st.agents, dt)
+    preds = predict_constant_control(obs6, dt, geom.wheelbase, cfg.n_pred)
+
+    (ego, ctrl, cutoff_len, agent_idx, done_now), tel = ego_subtick(
+        world.course, world.n_course, world.dl, world.goal_xy,
+        st.ego, st.ctrl, st.cutoff_len, st.agent_idx, st.first_tick, st.done,
+        preds, world.agent_params.active, cfg, geom,
+    )
+
+    # 8. scripted agents step (they keep moving even after the ego parks,
+    #    but freezing on done keeps finished scenarios cheap + deterministic)
+    agents = agents_step(world.agent_params, st.agents, dt, geom.wheelbase)
+    agents = jax.tree.map(
+        lambda a, b: jnp.where(done_now, b, a), agents, st.agents
+    )
+
+    new_st = EngineState(
+        ego=ego,
+        ctrl=ctrl,
+        agents=agents,
+        cutoff_len=jnp.where(done_now, st.cutoff_len, cutoff_len),
+        agent_idx=jnp.where(done_now, st.agent_idx, agent_idx),
+        first_tick=jnp.asarray(False) | (st.first_tick & done_now),
+        done=done_now,
+        ticks_to_goal=jnp.where(done_now & ~st.done, st.tick, st.ticks_to_goal),
+        tick=st.tick + 1,
     )
     return new_st, tel
 
