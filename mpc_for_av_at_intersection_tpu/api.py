@@ -1,0 +1,275 @@
+"""High-level driver API: prebuilt scenario configurations + fleet sampling.
+
+Replaces the reference's per-scenario driver scripts (``main/scenarios/*.py``,
+each a copy of the same loop with hand-edited parameters) with declarative
+builders. Each builder returns ``(geom, world, state0, cfg)`` ready for
+``engine.run_episode`` (or the multi-ego/batched runners).
+
+Drivers reproduced (reference file -> builder):
+- mpc_intersection.py            -> build_intersection (flagship)
+- mpc_basic.py (9 canned setups) -> build_t_intersection_basic(scenario_no)
+- mpc_roundabout.py              -> build_roundabout
+- mpc_intersection_multi_lane.py -> build_intersection_multi_lane
+- mpc_intersection_new_ref.py    -> build_intersection_speed_ref
+- overtaking_cyclist_bidirectional_road.py -> build_overtaking_cyclist
+- interactive_mpc.py (broken upstream)     -> build_multi_ego_intersection
+
+Plus ``sample_intersection_fleet`` — the Monte-Carlo generator for batched
+sweeps (BASELINE config 5): thousands of (start/turn, arrival-schedule)
+variations; global plans are cached per (start, turn) pair since the
+junction geometry is shared.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .agents import (
+    make_arterial_agent,
+    make_roundabout_agent,
+    make_t_intersection_agent,
+    stack_agents,
+)
+from .engine import (
+    EngineConfig,
+    init_engine_state,
+    init_multi_ego_state,
+    make_multi_ego_world,
+    make_world,
+)
+from .lattice import MotionPrimitiveSearch, SearchWeights, primitive_table
+from .models import VehicleGeometry, bicycle_geometry, prius_geometry
+from .mpc import MPCConfig
+from .worlds import (
+    arterial_multi_lanes,
+    intersection,
+    intersection_multi_lanes,
+    roundabout,
+    t_intersection,
+)
+
+
+@dataclasses.dataclass
+class DriverSetup:
+    geom: VehicleGeometry
+    world: object
+    state0: object
+    cfg: EngineConfig
+    trajectory: np.ndarray
+    trajectories: Optional[List[np.ndarray]] = None  # multi-ego
+
+
+def plan_course(
+    scenario, geom: VehicleGeometry, weights: SearchWeights = SearchWeights.modified(),
+    vehicle: str = "bicycle",
+) -> np.ndarray:
+    table = primitive_table(geom)
+    search = MotionPrimitiveSearch(scenario, geom, table, margin=geom.radius, weights=weights)
+    _, _, trajectory = search.run()
+    return trajectory
+
+
+def _single(scenario, rows, cfg, weights=SearchWeights.modified(), geom=None,
+            n_steps=256) -> DriverSetup:
+    geom = geom or bicycle_geometry()
+    trajectory = plan_course(scenario, geom, weights)
+    params, ag = stack_agents(rows, n_slots=cfg.n_agents)
+    world = make_world(trajectory, params, cfg)
+    state0 = init_engine_state(world, ag, cfg, n_steps)
+    return DriverSetup(geom, world, state0, cfg, trajectory)
+
+
+def build_intersection(
+    start_pos: int = 4, turn_indicator: int = 1, other_vehicles: bool = True,
+    cfg: Optional[EngineConfig] = None, n_steps: int = 256,
+) -> DriverSetup:
+    """The flagship driver (reference ``mpc_intersection.py:26-51``)."""
+    cfg = cfg or EngineConfig()
+    rows = []
+    if other_vehicles:
+        rows = [
+            make_t_intersection_agent(direction=1, turning=False, speed=25 / 3.6, offset=2.0),
+            make_t_intersection_agent(direction=-1, turning=True, speed=25 / 3.6, offset=4.0),
+        ]
+    return _single(
+        intersection(turn_indicator=turn_indicator, start_pos=start_pos),
+        rows, cfg, n_steps=n_steps,
+    )
+
+
+# the 9 canned T-intersection traffic setups of mpc_basic.py:131-169
+# (direction, offset, turning, speed) per vehicle
+_BASIC_SCENARIOS: Dict[int, List[Tuple[int, float, bool, float]]] = {
+    1: [],
+    2: [(1, 1.0, False, 30 / 3.6)],
+    3: [(1, 0.0, False, 30 / 3.6), (-1, 1.0, True, 25 / 3.6)],
+    4: [(1, 0.0, False, 30 / 3.6), (1, 3.0, False, 30 / 3.6)],
+    5: [(-1, 0.0, True, 20 / 3.6), (-1, 3.0, True, 20 / 3.6)],
+    6: [(1, 0.0, True, 30 / 3.6), (1, 3.0, True, 30 / 3.6)],
+    7: [(-1, 0.0, False, 30 / 3.6), (-1, 5.0, False, 30 / 3.6)],
+    8: [(1, 0.0, False, 30 / 3.6), (-1, 0.0, False, 30 / 3.6), (-1, 5.0, False, 30 / 3.6)],
+    9: [(1, 2.0, False, 25 / 3.6), (-1, 4.0, True, 25 / 3.6)],
+}
+
+
+def build_t_intersection_basic(
+    scenario_no: int = 9, turn_indicator: int = 1, start_pos: int = 1,
+    cfg: Optional[EngineConfig] = None, n_steps: int = 256,
+) -> DriverSetup:
+    """The basic T-intersection driver (reference ``mpc_basic.py``; its nine
+    canned traffic setups map to ``scenario_no`` 1-9)."""
+    cfg = cfg or EngineConfig()
+    rows = [
+        make_t_intersection_agent(direction=d, turning=t, speed=s, offset=o)
+        for (d, o, t, s) in _BASIC_SCENARIOS[scenario_no]
+    ]
+    return _single(
+        t_intersection(turn_indicator=turn_indicator, start_pos=start_pos),
+        rows, cfg, weights=SearchWeights.base(), n_steps=n_steps,
+    )
+
+
+def build_roundabout(
+    start_pos: int = 1, turn_indicator: int = 1, other_vehicles: bool = True,
+    cfg: Optional[EngineConfig] = None, n_steps: int = 320,
+) -> DriverSetup:
+    """Roundabout driver (reference ``mpc_roundabout.py:36-49``).
+
+    Note: the reference driver's own config (turn_indicator=4, a U-turn) has
+    NO feasible lattice path — verified by running the reference's roundabout
+    search on it ("No solution found"): the hidden boundary walls + rule box
+    block the maneuver at margin=radius. Upstream bitrot; default here is
+    the feasible left turn. U-turns plan fine where geometry permits."""
+    cfg = cfg or EngineConfig()
+    rows = []
+    if other_vehicles:
+        rows = [
+            make_roundabout_agent(direction=1, turning=True, speed=25 / 3.6, offset=1.0),
+            make_roundabout_agent(direction=-1, turning=True, speed=25 / 3.6, offset=4.0),
+        ]
+    return _single(
+        roundabout(turn_indicator=turn_indicator, start_pos=start_pos),
+        rows, cfg, weights=SearchWeights.roundabout(), n_steps=n_steps,
+    )
+
+
+def build_intersection_multi_lane(
+    start_pos: int = 1, turn_indicator: int = 1, start_lane: int = 1,
+    goal_lane: int = 1, number_of_lanes: int = 2,
+    cfg: Optional[EngineConfig] = None, n_steps: int = 256,
+) -> DriverSetup:
+    """Multi-lane intersection driver (reference
+    ``mpc_intersection_multi_lane.py:34-45``; no moving obstacles)."""
+    cfg = cfg or EngineConfig()
+    return _single(
+        intersection_multi_lanes(
+            turn_indicator=turn_indicator, start_pos=start_pos,
+            start_lane=start_lane, goal_lane=goal_lane,
+            number_of_lanes=number_of_lanes,
+        ),
+        [], cfg, n_steps=n_steps,
+    )
+
+
+def build_intersection_speed_ref(
+    start_pos: int = 1, turn_indicator: int = 1,
+    cfg: Optional[EngineConfig] = None, n_steps: int = 256,
+) -> DriverSetup:
+    """Speed-reference yielding driver (reference
+    ``mpc_intersection_new_ref.py``): keeps the full path and zeroes the
+    reference speed past the conflict instead of truncating."""
+    cfg = cfg or EngineConfig(mpc=MPCConfig.with_speed_ref(), yield_by_speed=True)
+    rows = [
+        make_t_intersection_agent(direction=1, turning=False, speed=25 / 3.6, offset=1.0),
+        make_t_intersection_agent(direction=-1, turning=True, speed=25 / 3.6, offset=4.0),
+    ]
+    return _single(
+        intersection(turn_indicator=turn_indicator, start_pos=start_pos),
+        rows, cfg, n_steps=n_steps,
+    )
+
+
+def build_overtaking_cyclist(
+    num_lanes: int = 2, goal_lane: int = 1,
+    cfg: Optional[EngineConfig] = None, n_steps: int = 256,
+) -> DriverSetup:
+    """Overtake-a-slow-rider driver (reference
+    ``overtaking_cyclist_bidirectional_road.py:76-82``). The 100 m arterial
+    course needs the larger trajectory buffer."""
+    cfg = cfg or EngineConfig(n_traj=2048)
+    scenario = arterial_multi_lanes(num_lanes=num_lanes, goal_lane=goal_lane)
+    rows = [
+        make_arterial_agent(
+            x_init=scenario.start[0], y_init=scenario.start[1] + 30.0,
+            speed=25 / 3.6, offset=1.0,
+        )
+    ]
+    return _single(scenario, rows, cfg, n_steps=n_steps)
+
+
+def build_multi_ego_intersection(
+    configs: List[Tuple[int, int]] = ((1, 2), (4, 1)),
+    cfg: Optional[EngineConfig] = None, n_steps: int = 256,
+) -> DriverSetup:
+    """N egos crossing one intersection (the capability the reference's
+    interactive_mpc.py intended). ``configs`` is a list of
+    (start_pos, turn_indicator) per ego."""
+    cfg = cfg or EngineConfig()
+    geom = bicycle_geometry()
+    trajs = [
+        plan_course(intersection(turn_indicator=t, start_pos=s), geom)
+        for (s, t) in configs
+    ]
+    params, ag = stack_agents([], n_slots=cfg.n_agents)
+    world = make_multi_ego_world(trajs, params, cfg)
+    state0 = init_multi_ego_state(world, ag, cfg, n_steps)
+    return DriverSetup(geom, world, state0, cfg, trajs[0], trajectories=trajs)
+
+
+def sample_intersection_fleet(
+    n_scenarios: int,
+    rng: np.random.Generator,
+    cfg: Optional[EngineConfig] = None,
+    n_steps: int = 256,
+    starts=(1, 2, 3, 4),
+    turns=(1, 2, 3),
+):
+    """Monte-Carlo fleet over (start, turn, arrival schedule) — BASELINE
+    config 5. Global plans are cached per (start, turn); the per-scenario
+    variation is the scripted traffic's offsets/speeds/turning flags.
+
+    Returns (geom, worlds, states, metadata) — stack with
+    ``parallel.stack_worlds`` / ``stack_states`` to run as one batch.
+    """
+    cfg = cfg or EngineConfig()
+    geom = bicycle_geometry()
+    course_cache: Dict[Tuple[int, int], np.ndarray] = {}
+    worlds, states, meta = [], [], []
+    for _ in range(n_scenarios):
+        s = int(rng.choice(starts))
+        t = int(rng.choice(turns))
+        key = (s, t)
+        if key not in course_cache:
+            course_cache[key] = plan_course(
+                intersection(turn_indicator=t, start_pos=s), geom
+            )
+        rows = []
+        for direction in (1, -1):
+            if rng.random() < 0.8:
+                rows.append(
+                    make_t_intersection_agent(
+                        direction=direction,
+                        turning=bool(rng.random() < 0.5),
+                        speed=float(rng.uniform(15, 32)) / 3.6,
+                        offset=float(rng.uniform(0.0, 6.0)),
+                    )
+                )
+        params, ag = stack_agents(rows, n_slots=cfg.n_agents)
+        world = make_world(course_cache[key], params, cfg)
+        worlds.append(world)
+        states.append(init_engine_state(world, ag, cfg, n_steps))
+        meta.append({"start_pos": s, "turn_indicator": t, "n_agents": len(rows)})
+    return geom, worlds, states, meta

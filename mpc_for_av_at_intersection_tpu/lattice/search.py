@@ -49,6 +49,10 @@ class SearchWeights:
     c_obstacle: float = 0.0
     c_center: float = 0.0
     heuristic_mode: str = "point"  # "point" (modified) or "area" (base)
+    # reference multi_lane.py:230 gates the EDGE obstacle term on the
+    # HEURISTIC obstacle weight; the single-lane/roundabout variants compute
+    # it unconditionally (their own hard-coded files)
+    gate_edge_obstacle_on_h: bool = True
 
     @staticmethod
     def modified() -> "SearchWeights":
@@ -60,11 +64,16 @@ class SearchWeights:
 
     @staticmethod
     def single_lane() -> "SearchWeights":
-        return SearchWeights(h_steering=15.0, c_steering=5.0, c_obstacle=0.1, h_obstacle=1e-12)
+        return SearchWeights(
+            h_steering=15.0, c_steering=5.0, c_obstacle=0.1,
+            gate_edge_obstacle_on_h=False,
+        )
 
     @staticmethod
     def roundabout() -> "SearchWeights":
-        return SearchWeights(c_steering=5.0, c_obstacle=0.1, h_obstacle=1e-12)
+        return SearchWeights(
+            c_steering=5.0, c_obstacle=0.1, gate_edge_obstacle_on_h=False
+        )
 
     @staticmethod
     def multi_lane(**kw) -> "SearchWeights":
@@ -213,7 +222,10 @@ class MotionPrimitiveSearch:
             cost = w.c_dist * float(tbl.lengths[p])
             if w.c_steering:
                 cost += w.c_steering * abs(_wrap_pi(t - th0))
-            if w.h_obstacle:  # quirk: edge obstacle term gated on h-weight
+            use_edge_obs = w.c_obstacle and (
+                (not w.gate_edge_obstacle_on_h) or w.h_obstacle
+            )
+            if use_edge_obs:
                 cost += w.c_obstacle * self._obstacle_proximity(nx, ny)
             if w.c_center:
                 cost += w.c_center * math.hypot(nx, ny)

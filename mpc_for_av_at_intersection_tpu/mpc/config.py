@@ -64,8 +64,8 @@ class MPCConfig:
     jerk_weight: float = 1.0
 
     # solver controls
-    admm_rounds: int = 6         # outer rounds (refactorize + adapt rho)
-    admm_iters: int = 30         # inner iterations per round
+    admm_rounds: int = 10        # outer rounds (refactorize + adapt rho)
+    admm_iters: int = 50         # inner iterations per round
     admm_rho: float = 0.1
     admm_sigma: float = 1e-6
     admm_alpha: float = 1.6
@@ -97,8 +97,16 @@ class MPCConfig:
 
     @staticmethod
     def with_jerk() -> "MPCConfig":
-        """Comfort variant (reference ``mpc_jerk.py:16-40``)."""
-        return MPCConfig(jerk=True, rd_accel=0.3, max_decel=-5.0)
+        """Comfort variant (reference ``mpc_jerk.py:16-40``, cost loop
+        :160-190: w_perp hard-coded to 10, Rd=(0.3, 1), MAX_DECEL=-5,
+        STOP_SPEED=0.5/3.6, jerk penalty weight 1)."""
+        return MPCConfig(
+            jerk=True,
+            w_perp=10.0,
+            rd_accel=0.3,
+            max_decel=-5.0,
+            stop_speed=0.5 / 3.6,
+        )
 
     @staticmethod
     def from_json(path: str, **overrides) -> "MPCConfig":

@@ -72,7 +72,11 @@ def mpc_step(
     wheelbase: float,
 ) -> MPCStepOut:
     if cfg.jerk:
-        raise NotImplementedError("jerk variant: see mpc/jerk.py")
+        from .jerk import mpc_step_jerk
+
+        return mpc_step_jerk(
+            state4, course, course_speed, valid_len, dl, cs, cfg, wheelbase
+        )
     T = cfg.T
     dtype = course.dtype
     limits = SimLimits(

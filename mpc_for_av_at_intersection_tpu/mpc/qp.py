@@ -29,6 +29,42 @@ class QPSolution(NamedTuple):
     dual_res: jnp.ndarray   # () inf-norm of dual residual (pre-polish)
 
 
+def _ruiz_equilibrate(P, q, G, iters: int = 10):
+    """Modified Ruiz equilibration of the KKT operator [[P, G'], [G, 0]]
+    plus OSQP-style cost normalization. Returns (d, e, c): variable scaling,
+    constraint scaling, cost scaling. Dramatically evens out ADMM
+    convergence across instances (cost scales here span 1e-2..260)."""
+    n = P.shape[0]
+    m = G.shape[0]
+    dtype = P.dtype
+    d = jnp.ones((n,), dtype)
+    e = jnp.ones((m,), dtype)
+    c = jnp.asarray(1.0, dtype)
+    eps = jnp.asarray(1e-8, dtype)
+
+    def body(_, carry):
+        d, e, c = carry
+        Ps = (c * d[:, None]) * P * d[None, :]
+        Gs = e[:, None] * G * d[None, :]
+        col_x = jnp.maximum(
+            jnp.max(jnp.abs(Ps), axis=0), jnp.max(jnp.abs(Gs), axis=0)
+        )
+        row_y = jnp.max(jnp.abs(Gs), axis=1)
+        d = d / jnp.sqrt(jnp.maximum(col_x, eps))
+        e = e / jnp.sqrt(jnp.maximum(row_y, eps))
+        # cost normalization
+        Ps = (c * d[:, None]) * P * d[None, :]
+        qs = c * d * q
+        g = jnp.maximum(
+            jnp.mean(jnp.max(jnp.abs(Ps), axis=0)), jnp.max(jnp.abs(qs))
+        )
+        c = c / jnp.maximum(g, eps)
+        return d, e, c
+
+    d, e, c = jax.lax.fori_loop(0, iters, body, (d, e, c))
+    return d, e, c
+
+
 def _admm_round(P, q, G, lo, hi, sigma, alpha, iters):
     def run(state):
         x, z, y, rho = state
@@ -115,29 +151,49 @@ def solve_box_qp(
     alpha: float = 1.6,
     polish: bool = True,
     act_tol_rel: float = 1e-4,
+    scale: bool = True,
 ) -> QPSolution:
     """Solve one dense box-QP (vmap over a leading batch axis to batch)."""
     n = P.shape[0]
     m = G.shape[0]
     dtype = P.dtype
 
+    if scale:
+        d, e, c = _ruiz_equilibrate(P, q, G)
+        Ps = (c * d[:, None]) * P * d[None, :]
+        qs = c * d * q
+        Gs = e[:, None] * G * d[None, :]
+        los = e * lo
+        his = e * hi
+    else:
+        d = jnp.ones((n,), dtype)
+        e = jnp.ones((m,), dtype)
+        c = jnp.asarray(1.0, dtype)
+        Ps, qs, Gs, los, his = P, q, G, lo, hi
+
     # init seeded from inputs so scan-carry varying-axis types line up
     # under shard_map
     zero = q[0] * 0.0
     x = jnp.zeros((n,), dtype) + zero
-    z = jnp.clip(jnp.zeros((m,), dtype) + zero, lo, hi)
+    z = jnp.clip(jnp.zeros((m,), dtype) + zero, los, his)
     y = jnp.zeros((m,), dtype) + zero
     rho = jnp.asarray(rho0, dtype) + zero
 
     state = (x, z, y, rho)
-    runner = _admm_round(P, q, G, lo, hi, sigma, alpha, iters)
+    runner = _admm_round(Ps, qs, Gs, los, his, sigma, alpha, iters)
     prim = dual = jnp.asarray(jnp.inf, dtype)
     for _ in range(rounds):
         state, (prim, dual) = runner(state)
-    x, z, y, rho = state
+    xs, zs, ys, rho = state
+
+    # unscale back to the original problem
+    x = d * xs
+    y = (e * ys) / c
 
     if not polish:
-        return QPSolution(x, y, jnp.asarray(False), prim, dual)
+        Gx = G @ x
+        viol = jnp.max(jnp.maximum(jnp.maximum(Gx - hi, lo - Gx), 0.0))
+        return QPSolution(x, y, jnp.asarray(False), viol, dual)
 
     y_scale = jnp.maximum(jnp.max(jnp.abs(y)), 1.0)
     xp, yp = _polish(P, q, G, lo, hi, x, y, act_tol_rel * y_scale)
@@ -153,7 +209,14 @@ def solve_box_qp(
 
     x_out = jnp.where(ok, xp, x)
     y_out = jnp.where(ok, yp, y)
-    return QPSolution(x_out, y_out, ok, prim, dual)
+    # report the primal infeasibility of the RETURNED x (a successful polish
+    # means an exact solve even when the raw ADMM residual was loose)
+    Gx_out = G @ x_out
+    viol_out = jnp.max(
+        jnp.maximum(jnp.maximum(Gx_out - hi, lo - Gx_out), 0.0)
+    )
+    prim_out = jnp.where(ok, viol_out, jnp.maximum(prim, viol_out))
+    return QPSolution(x_out, y_out, ok, prim_out, dual)
 
 
 def kkt_residuals(P, q, G, lo, hi, x, y):

@@ -1,0 +1,179 @@
+"""Offline visualization from telemetry arrays.
+
+Capability parity with reference ``main/lib/plotting.py`` (scenario/car/
+search-point drawing), ``visualisation.py`` (animation factory) and the
+drivers' final plots (speed/accel/deviation traces, time-colored trajectory
+overlays — ``scenarios/mpc_intersection.py:177-271``). Unlike the
+reference, nothing here runs inside the control loop: the engine produces
+telemetry arrays and rendering happens afterwards.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..models import VehicleGeometry
+from ..worlds.obstacles import BoxObstacle, CircleObstacle
+from ..worlds.scenario import Scenario
+
+
+def draw_scenario(scenario: Scenario, ax, show_hidden: bool = False):
+    """Obstacles (hidden ones dashed if requested), start arrow, goal area."""
+    from matplotlib.patches import Circle, Rectangle
+
+    for o in scenario.obstacles:
+        if o.hidden and not show_hidden:
+            continue
+        style = dict(
+            facecolor="lightgray" if not o.hidden else "none",
+            edgecolor="gray",
+            linestyle="--" if o.hidden else "-",
+        )
+        if isinstance(o, BoxObstacle):
+            x1, y1, x2, y2 = o.corners
+            ax.add_patch(Rectangle((x1, y1), x2 - x1, y2 - y1, **style))
+        elif isinstance(o, CircleObstacle):
+            ax.add_patch(Circle(o.center, o.radius, **style))
+    ga = scenario.goal_area
+    x1, y1, x2, y2 = ga.corners
+    ax.add_patch(
+        Rectangle((x1, y1), x2 - x1, y2 - y1, facecolor="none", edgecolor="green")
+    )
+    draw_point_arrow(scenario.start, ax, color="tab:blue")
+    draw_point_arrow(scenario.goal_point, ax, color="green")
+    ax.set_aspect("equal")
+
+
+def draw_point_arrow(pose, ax, color=None, length: float = 2.0):
+    x, y, th = pose
+    ax.arrow(
+        x, y, length * math.cos(th), length * math.sin(th),
+        head_width=0.6, color=color,
+    )
+
+
+def draw_car(pose, geom: VehicleGeometry, ax, color="k", steer: float = 0.0,
+             draw_circles: bool = False):
+    """Outline + wheels, rear-axle anchored (reference plotting.py:83-158)."""
+    from matplotlib.patches import Circle
+
+    x, y, th = pose[0], pose[1], pose[2]
+    c, s = math.cos(th), math.sin(th)
+    w, l = geom.width, geom.length
+    cx_off, _ = geom.center_offset
+    # body corners in the vehicle frame (rear overhang behind the rear axle)
+    rear = cx_off - l / 2.0
+    front = cx_off + l / 2.0
+    pts = np.array(
+        [[rear, -w / 2], [front, -w / 2], [front, w / 2], [rear, w / 2], [rear, -w / 2]]
+    )
+    world = np.stack([x + c * pts[:, 0] - s * pts[:, 1], y + s * pts[:, 0] + c * pts[:, 1]], axis=1)
+    ax.plot(world[:, 0], world[:, 1], color=color)
+
+    # wheels: rear pair straight, front pair rotated by the steer angle
+    wl, hw = 0.7, w / 2.0 * 0.8
+    for wx, steer_a in ((0.0, 0.0), (geom.wheelbase, steer)):
+        for side in (-1, 1):
+            cw, sw = math.cos(steer_a), math.sin(steer_a)
+            wpts = np.array([[-wl / 2, 0.0], [wl / 2, 0.0]])
+            wpts = wpts @ np.array([[cw, sw], [-sw, cw]])
+            wpts += [wx, side * hw]
+            wworld = np.stack(
+                [x + c * wpts[:, 0] - s * wpts[:, 1], y + s * wpts[:, 0] + c * wpts[:, 1]],
+                axis=1,
+            )
+            ax.plot(wworld[:, 0], wworld[:, 1], color=color, linewidth=2)
+
+    if draw_circles:
+        for ox, oy in geom.circle_centers:
+            ax.add_patch(
+                Circle(
+                    (x + c * ox - s * oy, y + s * ox + c * oy),
+                    geom.radius, fill=False, edgecolor=color, linestyle=":",
+                )
+            )
+
+
+def draw_search_points(search, ax, visualize_heuristic: bool = True):
+    """Visited lattice nodes colored by heuristic (reference
+    plotting.py:161-179); requires the search ran with debug=True."""
+    data = search.debug_data
+    if not data:
+        return
+    xs = [e.node[0] for e in data]
+    ys = [e.node[1] for e in data]
+    cs = [e.h if visualize_heuristic else e.g for e in data]
+    sc = ax.scatter(xs, ys, c=cs, s=4, cmap="viridis")
+    return sc
+
+
+def plot_telemetry(tel, dt: float = 0.2, axes=None, label: Optional[str] = None):
+    """Speed / acceleration / reference-deviation traces
+    (reference mpc_intersection.py:243-271)."""
+    import matplotlib.pyplot as plt
+
+    t = np.arange(len(np.asarray(tel.v))) * dt
+    if axes is None:
+        _, axes = plt.subplots(3, 1, figsize=(8, 9), sharex=True)
+    axes[0].plot(t, np.asarray(tel.v) * 3.6, label=label)
+    axes[0].set_ylabel("speed [km/h]")
+    axes[1].plot(t, np.asarray(tel.accel), label=label)
+    axes[1].set_ylabel("accel [m/s$^2$]")
+    axes[2].plot(t, np.asarray(tel.xref_dev), label=label)
+    axes[2].set_ylabel("deviation [m]")
+    axes[2].set_xlabel("time [s]")
+    for a in axes:
+        a.grid(True)
+        if label:
+            a.legend()
+    return axes
+
+
+def plot_trajectories(tel, ax, dt: float = 0.2, agent_xy: Optional[np.ndarray] = None):
+    """Time-colored ego (and agent) trajectory overlay
+    (reference mpc_intersection.py:177-241)."""
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(tel.x)
+    y = np.asarray(tel.y)
+    t = np.arange(len(x)) * dt
+    sc = ax.scatter(x, y, c=t, cmap="viridis", s=14)
+    if agent_xy is not None:
+        for k in range(agent_xy.shape[1]):
+            ax.scatter(agent_xy[:, k, 0], agent_xy[:, k, 1], c=t, cmap="viridis", s=6)
+    plt.colorbar(sc, ax=ax, label="time [s]")
+    ax.set_aspect("equal")
+    return ax
+
+
+def animate_episode(
+    scenario: Scenario, geom: VehicleGeometry, tel, dt: float = 0.2,
+    agent_states: Optional[np.ndarray] = None, interval_ms: int = 50,
+):
+    """FuncAnimation factory over telemetry (reference visualisation.py:24-85).
+    ``agent_states``: optional (T, n_agents, >=4) array of agent poses."""
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    x = np.asarray(tel.x)
+    y = np.asarray(tel.y)
+    yaw = np.asarray(tel.yaw)
+
+    def frame(k):
+        ax.cla()
+        draw_scenario(scenario, ax)
+        ax.plot(x[: k + 1], y[: k + 1], "-r")
+        draw_car((x[k], y[k], yaw[k]), geom, ax, color="k")
+        if agent_states is not None:
+            for j in range(agent_states.shape[1]):
+                a = agent_states[k, j]
+                draw_car((a[0], a[1], a[3]), geom, ax, color="tab:blue")
+        ax.set_xlim(-45, 45)
+        ax.set_ylim(-45, 45)
+        ax.set_title(f"t = {k * dt:.1f} s")
+
+    return FuncAnimation(fig, frame, frames=len(x), interval=interval_ms)

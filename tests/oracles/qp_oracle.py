@@ -125,6 +125,107 @@ def build_sparse_mpc_qp(
     return SparseQP(P, q, np.array(rows), np.array(los), np.array(his), T)
 
 
+def build_sparse_jerk_qp(
+    A_dyn, B_dyn, C_dyn, x0, xref, reaches_end,
+    w_perp, w_para, q_v, q_yaw, qf5, end_input_weight,
+    r_accel, r_steer, rd_accel, rd_steer, jerk_weight,
+    max_accel, max_decel, max_dsteer_dt, max_steer, max_speed, min_speed,
+) -> SparseQP:
+    """Sparse oracle for the jerk variant (reference mpc_jerk.py): 5-state
+    dynamics, free initial accel state (only x[:4,0] pinned), jerk penalty
+    on accel-state differences, 5x5 terminal Qf (see mpc/jerk.py docstring
+    for the documented Qf fix)."""
+    T = A_dyn.shape[0]
+    nx, nu = 5, 2
+    nz = nx * (T + 1) + nu * T
+
+    def xi(t):
+        return slice(nx * t, nx * (t + 1))
+
+    def ui(t):
+        return slice(nx * (T + 1) + nu * t, nx * (T + 1) + nu * (t + 1))
+
+    P = np.zeros((nz, nz))
+    q = np.zeros(nz)
+
+    for t in range(1, T + 1):
+        if reaches_end[t]:
+            Q = np.diag(np.asarray(qf5, dtype=np.float64)) * T
+        else:
+            yaw = xref[3, t]
+            c, s = np.cos(yaw), np.sin(yaw)
+            Qxy = w_perp * np.array([[s * s, -c * s], [-c * s, c * c]]) + \
+                w_para * np.array([[c * c, c * s], [c * s, s * s]])
+            Q = np.zeros((5, 5))
+            Q[:2, :2] = Qxy
+            Q[2, 2], Q[3, 3] = q_v, q_yaw
+        r = np.append(xref[:, t], 0.0)
+        P[xi(t), xi(t)] += 2.0 * Q
+        q[xi(t)] += -2.0 * Q @ r
+
+    for t in range(T):
+        R = np.diag([end_input_weight] * 2) if reaches_end[t] else np.diag([r_accel, r_steer])
+        P[ui(t), ui(t)] += 2.0 * R
+
+    Rd = np.diag([rd_accel, rd_steer])
+    for t in range(T - 1):
+        a, b = ui(t), ui(t + 1)
+        P[a, a] += 2.0 * Rd
+        P[b, b] += 2.0 * Rd
+        P[a.start:a.stop, b.start:b.stop] += -2.0 * Rd
+        P[b.start:b.stop, a.start:a.stop] += -2.0 * Rd
+        # jerk penalty on accel-state difference (mpc_jerk.py:190)
+        ia, ib = nx * t + 4, nx * (t + 1) + 4
+        P[ia, ia] += 2.0 * jerk_weight
+        P[ib, ib] += 2.0 * jerk_weight
+        P[ia, ib] += -2.0 * jerk_weight
+        P[ib, ia] += -2.0 * jerk_weight
+
+    rows, los, his = [], [], []
+
+    def add_row(vec, lo_v, hi_v):
+        rows.append(vec)
+        los.append(lo_v)
+        his.append(hi_v)
+
+    # x[:4, 0] = x0 — the accel state is free (mpc_jerk.py:193)
+    for k in range(4):
+        v = np.zeros(nz)
+        v[k] = 1.0
+        add_row(v, x0[k], x0[k])
+    for t in range(T):
+        for k in range(nx):
+            v = np.zeros(nz)
+            v[xi(t + 1)][k] = 1.0
+            v[xi(t)] -= A_dyn[t, k]
+            v[ui(t)] -= B_dyn[t, k]
+            add_row(v, C_dyn[t, k], C_dyn[t, k])
+    for t in range(T + 1):
+        v = np.zeros(nz)
+        v[nx * t + 2] = 1.0
+        add_row(v, min_speed, max_speed)
+    for t in range(T):
+        v = np.zeros(nz)
+        v[ui(t)][0] = 1.0
+        add_row(v, max_decel, max_accel)
+    for t in range(T):
+        v = np.zeros(nz)
+        v[ui(t)][1] = 1.0
+        add_row(v, -max_steer, max_steer)
+    for t in range(T - 1):
+        v = np.zeros(nz)
+        v[ui(t + 1)][1] = 1.0
+        v[ui(t)][1] -= 1.0
+        add_row(v, -max_dsteer_dt, max_dsteer_dt)
+
+    return SparseQP(P, q, np.array(rows), np.array(los), np.array(his), T)
+
+
+def extract_controls_jerk(qp: SparseQP, z: np.ndarray) -> np.ndarray:
+    T = qp.T
+    return z[5 * (T + 1):].reshape(T, 2)
+
+
 def kkt_residuals(P, q, A, lo, hi, z, y):
     Az = A @ z
     stat = np.max(np.abs(P @ z + q + A.T @ y))

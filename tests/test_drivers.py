@@ -1,0 +1,98 @@
+"""Driver-config zoo: every reference scenario family runs end-to-end.
+
+Outcome criteria replace the reference's eyeballed videos: goal reached (or
+meaningful progress for the harder stochastic setups), QPs solved, limits
+respected.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mpc_for_av_at_intersection_tpu import api
+from mpc_for_av_at_intersection_tpu.engine import run_episode, run_multi_ego_episode
+
+N_STEPS = 200
+
+
+def _run(setup, n_steps=N_STEPS):
+    run = jax.jit(
+        lambda w, s: run_episode(w, s, setup.cfg, setup.geom, n_steps)
+    )
+    final, tel = run(setup.world, setup.state0)
+    return final, jax.tree.map(np.asarray, tel)
+
+
+def _check_finished(setup, final, tel, n_steps=N_STEPS, goal_tol=1.6):
+    assert bool(final.done), f"not done; end pos {np.asarray(final.ego)[:2]}"
+    k = int(final.ticks_to_goal)
+    goal = setup.trajectory[-1, :2]
+    assert np.hypot(tel.x[k - 1] - goal[0], tel.y[k - 1] - goal[1]) < goal_tol
+    assert tel.solved.all()
+    assert np.all(np.abs(tel.steer[:k]) <= np.radians(45) + 1e-4)
+
+
+def test_roundabout_driver():
+    # NOTE: the upstream driver's U-turn config has no feasible lattice path
+    # (the reference search also fails on it) — use the left turn.
+    setup = api.build_roundabout(start_pos=1, turn_indicator=1)
+    final, tel = _run(setup, 320)
+    run = None
+    assert bool(final.done), f"end pos {np.asarray(final.ego)[:2]}"
+    k = int(final.ticks_to_goal)
+    goal = setup.trajectory[-1, :2]
+    assert np.hypot(tel.x[k - 1] - goal[0], tel.y[k - 1] - goal[1]) < 1.6
+    assert tel.solved.all()
+
+
+def test_multi_lane_driver():
+    setup = api.build_intersection_multi_lane(number_of_lanes=2)
+    final, tel = _run(setup)
+    _check_finished(setup, final, tel)
+    assert not tel.collision_found.any()  # no traffic in this driver
+
+
+def test_speed_ref_driver_yields_and_finishes():
+    setup = api.build_intersection_speed_ref()
+    final, tel = _run(setup, 256)
+    assert bool(final.done)
+    k = int(final.ticks_to_goal)
+    goal = setup.trajectory[-1, :2]
+    assert np.hypot(tel.x[k - 1] - goal[0], tel.y[k - 1] - goal[1]) < 1.6
+    assert tel.solved.all()
+    # yielding happened through the speed channel: some conflict ticks exist
+    assert tel.collision_found[:k].any()
+
+
+def test_overtaking_cyclist_driver():
+    setup = api.build_overtaking_cyclist()
+    final, tel = _run(setup, 256)
+    _check_finished(setup, final, tel, 256)
+
+
+@pytest.mark.parametrize("scenario_no", [1, 9])
+def test_t_intersection_basic(scenario_no):
+    setup = api.build_t_intersection_basic(scenario_no=scenario_no)
+    final, tel = _run(setup, 256)
+    _check_finished(setup, final, tel, 256)
+
+
+def test_monte_carlo_fleet_batch():
+    from mpc_for_av_at_intersection_tpu.parallel import (
+        run_batch_episodes,
+        stack_states,
+        stack_worlds,
+    )
+
+    rng = np.random.default_rng(0)
+    geom, worlds, states, meta = api.sample_intersection_fleet(8, rng, n_steps=160)
+    assert len({(m["start_pos"], m["turn_indicator"]) for m in meta}) > 1
+    wb, sb = stack_worlds(worlds), stack_states(states)
+    cfg = api.EngineConfig() if hasattr(api, "EngineConfig") else None
+    from mpc_for_av_at_intersection_tpu.engine import EngineConfig
+
+    final, tel, summary = run_batch_episodes(wb, sb, EngineConfig(), geom, 160)
+    assert int(summary["n_unsolved_ticks"]) == 0
+    # most sampled scenarios should resolve within 32 s
+    assert int(summary["n_done"]) >= 6, f"only {int(summary['n_done'])}/8 done"
