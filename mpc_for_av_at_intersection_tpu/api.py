@@ -64,9 +64,21 @@ class DriverSetup:
 
 def plan_course(
     scenario, geom: VehicleGeometry, weights: SearchWeights = SearchWeights.modified(),
-    vehicle: str = "bicycle",
+    use_native: bool = True,
 ) -> np.ndarray:
+    """Global plan via the lattice search — the native C++ core when a
+    toolchain is available (verified bit-exact vs the Python oracle),
+    otherwise the Python implementation."""
     table = primitive_table(geom)
+    if use_native:
+        from .native import NativeMotionPrimitiveSearch, native_available
+
+        if native_available():
+            search = NativeMotionPrimitiveSearch(
+                scenario, geom, table, margin=geom.radius, weights=weights
+            )
+            _, _, trajectory = search.run()
+            return trajectory
     search = MotionPrimitiveSearch(scenario, geom, table, margin=geom.radius, weights=weights)
     _, _, trajectory = search.run()
     return trajectory
