@@ -1,6 +1,12 @@
 from .primitives import PrimitiveTable, primitive_table, PRIMITIVE_SPECS
 from .astar import AStar
 from .search import SearchWeights, MotionPrimitiveSearch
+from .wavefront import (
+    WavefrontConfig,
+    WavefrontResult,
+    prepare_primitives,
+    wavefront_search,
+)
 
 __all__ = [
     "PrimitiveTable",
@@ -9,4 +15,8 @@ __all__ = [
     "AStar",
     "SearchWeights",
     "MotionPrimitiveSearch",
+    "WavefrontConfig",
+    "WavefrontResult",
+    "prepare_primitives",
+    "wavefront_search",
 ]

@@ -1,0 +1,109 @@
+"""Batched device wavefront search vs the exact host search."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mpc_for_av_at_intersection_tpu.lattice import (
+    MotionPrimitiveSearch,
+    SearchWeights,
+    primitive_table,
+)
+from mpc_for_av_at_intersection_tpu.lattice.wavefront import (
+    WavefrontConfig,
+    prepare_primitives,
+    wavefront_search,
+)
+from mpc_for_av_at_intersection_tpu.models import bicycle_geometry
+from mpc_for_av_at_intersection_tpu.worlds import compile_scenario, intersection, t_intersection
+from mpc_for_av_at_intersection_tpu.worlds.obstacles import check_collision
+
+
+def _run_device(scenarios, geom, cfg):
+    table = primitive_table(geom)
+    prims = prepare_primitives(table, geom)
+    arrs = [compile_scenario(s, margin=geom.radius) for s in scenarios]
+    hp = jnp.asarray(np.stack([a.halfplanes for a in arrs]), jnp.float32)
+    ov = jnp.asarray(np.stack([a.obstacle_valid for a in arrs]))
+    st = jnp.asarray(np.stack([a.start for a in arrs]), jnp.float32)
+    gl = jnp.asarray(np.stack([a.goal_point for a in arrs]), jnp.float32)
+    gb = jnp.asarray(np.stack([a.goal_area_corners for a in arrs]), jnp.float32)
+    tt = jnp.asarray(np.stack([a.goal_theta_tol for a in arrs]), jnp.float32)
+
+    fn = jax.jit(
+        jax.vmap(
+            lambda h, o, s, g, b, t: wavefront_search(h, o, s, g, b, t, prims, cfg)
+        )
+    )
+    return fn(hp, ov, st, gl, gb, tt)
+
+
+SCENARIOS = [
+    intersection(turn_indicator=1, start_pos=4),
+    intersection(turn_indicator=2, start_pos=1),
+    intersection(turn_indicator=3, start_pos=2),
+    intersection(turn_indicator=1, start_pos=3),
+    t_intersection(turn_indicator=1, start_pos=1),
+    t_intersection(turn_indicator=2, start_pos=4),
+]
+
+
+def test_wavefront_matches_host_search_cost():
+    geom = bicycle_geometry()
+    cfg = WavefrontConfig()
+    res = _run_device(SCENARIOS, geom, cfg)
+
+    table = primitive_table(geom)
+    for i, sc in enumerate(SCENARIOS):
+        assert bool(res.found[i]), f"scenario {i} not found by wavefront"
+        host = MotionPrimitiveSearch(
+            sc, geom, table, margin=geom.radius, weights=SearchWeights.modified()
+        )
+        cost_host, _, traj_host = host.run()
+        cost_dev = float(res.cost[i])
+        # NOTE the reference heuristic (dist + 2.7*dtheta) is inadmissible,
+        # so the host/reference A* is not guaranteed optimal — the device
+        # beam can legitimately return a CHEAPER path (observed: 11 vs 12
+        # edges on the straight-through config). Require the device cost to
+        # stay within a tight band of the host result either way; the
+        # trajectory-validity test below is the hard feasibility check.
+        assert 0.85 * cost_host - 1e-6 <= cost_dev <= 1.10 * cost_host + 1e-6, (
+            f"scenario {i}: device {cost_dev:.2f} vs host {cost_host:.2f}"
+        )
+
+
+def test_wavefront_trajectory_is_valid():
+    """The returned trajectory must be a collision-free continuous primitive
+    chain from the start that ends inside the goal region."""
+    geom = bicycle_geometry()
+    cfg = WavefrontConfig()
+    res = _run_device(SCENARIOS, geom, cfg)
+
+    for i, sc in enumerate(SCENARIOS):
+        n = int(res.n_points[i])
+        traj = np.asarray(res.trajectory[i])[:n]
+        # starts at the scenario start
+        np.testing.assert_allclose(traj[0], np.asarray(sc.start), atol=1e-5)
+        # continuity: consecutive points ~one Euler step apart
+        steps = np.linalg.norm(np.diff(traj[:, :2], axis=0), axis=1)
+        assert steps.max() < 0.2, f"scenario {i} discontinuity {steps.max()}"
+        # collision-free vs all (incl. hidden) obstacles at margin, re-checked
+        # host-side with the car's collision circles
+        cc = geom.circle_centers
+        th = traj[:, 2]
+        c, s = np.cos(th), np.sin(th)
+        pts = []
+        for ox, oy in cc:
+            pts.append(
+                np.stack([traj[:, 0] + c * ox - s * oy, traj[:, 1] + s * ox + c * oy], axis=1)
+            )
+        pts = np.concatenate(pts)
+        for o in sc.obstacles:
+            hp = o.halfplanes(margin=geom.radius)
+            assert not check_collision(hp, pts), f"scenario {i} collides with {o}"
+        # reaches the goal region
+        end = traj[-1]
+        ga = sc.goal_area
+        assert ga.distance_to_point(end[:2]) < 1.0
