@@ -66,11 +66,16 @@ def main():
     cs0 = init_controller_state(cfg, dtype)
     cs = jax.tree.map(lambda x: jnp.broadcast_to(x, (BATCH,) + x.shape), cs0)
 
+    from mpc_for_av_at_intersection_tpu.mpc.batch import mpc_step_batched
+
+    use_pallas = jax.default_backend() == "tpu"
+
     @jax.jit
     def solve_batch(state, course, cv, valid_len, dl, cs):
-        out = jax.vmap(
-            lambda s, c, v, n, d, k: mpc_step(s, c, v, n, d, k, cfg, geom.wheelbase)
-        )(state, course, cv, valid_len, dl, cs)
+        out = mpc_step_batched(
+            state, course, cv, valid_len, dl, cs, cfg, geom.wheelbase,
+            use_pallas=use_pallas,
+        )
         return out.accel, out.steer, out.state
 
     # warmup / compile

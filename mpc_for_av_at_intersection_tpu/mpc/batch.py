@@ -1,0 +1,106 @@
+"""Natively batched controller step (fleet-scale path).
+
+Same per-scenario semantics as ``controller.mpc_step`` (which stays the
+single-scenario reference used by the engine), but with the QP solved by
+``solve_box_qp_batched`` — i.e. the Pallas fused-ADMM kernel — instead of a
+vmapped per-scenario solver. Used by the bench and large Monte-Carlo
+sweeps. Equivalence with the vmapped path is covered by tests.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dynamics import SimLimits, plant_rollout
+from .condense import condense
+from .config import MPCConfig
+from .controller import ControllerState, MPCStepOut
+from .linearize import linearize_bicycle
+from .qp import solve_box_qp_batched
+from .reference import compute_reference
+
+
+def mpc_step_batched(
+    states,         # (B, 4)
+    courses,        # (B, N, 3)
+    course_speeds,  # (B, N)
+    valid_lens,     # (B,)
+    dls,            # (B,)
+    cs: ControllerState,  # fields batched along B
+    cfg: MPCConfig,
+    wheelbase: float,
+    use_pallas: bool = True,
+    interpret: bool = False,
+) -> MPCStepOut:
+    if cfg.jerk:
+        raise NotImplementedError("batched jerk path not implemented; vmap mpc_step")
+    T = cfg.T
+    B = states.shape[0]
+    dtype = courses.dtype
+    limits = SimLimits(
+        max_steer=cfg.max_steer, max_speed=cfg.max_speed, min_speed=cfg.min_speed
+    )
+
+    oa = jnp.where(cs.have_prev[:, None], cs.oa, jnp.zeros_like(cs.oa))
+    od = jnp.where(cs.have_prev[:, None], cs.od, jnp.zeros_like(cs.od))
+    ov = cs.ov
+    have_ov = cs.have_ov
+    target_idx = cs.target_idx
+
+    sol = None
+    Ff = gf = xref = None
+    for _ in range(max(cfg.max_iter, 1)):
+        ref = jax.vmap(
+            lambda s, c, v, n, d, ti, o, h: compute_reference(
+                s, c, v, n, d, ti, o, h, T, cfg.dt,
+                use_speed_channel=cfg.speed_ref,
+            )
+        )(states, courses, course_speeds, valid_lens, dls, target_idx, ov, have_ov)
+        xref, target_idx, reaches_end = ref
+
+        controls = jnp.stack([oa, od], axis=-1)                  # (B, T, 2)
+        xbar = jax.vmap(
+            lambda s, u: plant_rollout(s, u, cfg.dt, wheelbase, limits)
+        )(states, controls)
+        dref = jnp.zeros((B, T), dtype)
+        A, B_, C = jax.vmap(
+            lambda v, p, d: linearize_bicycle(v, p, d, cfg.dt, wheelbase)
+        )(xbar[:, :-1, 2], xbar[:, :-1, 3], dref)
+
+        cqp = jax.vmap(lambda a, b, c, s, r, e: condense(a, b, c, s, r, e, cfg))(
+            A, B_, C, states, xref, reaches_end
+        )
+        sol = solve_box_qp_batched(
+            cqp.P, cqp.q, cqp.G, cqp.lo, cqp.hi,
+            rounds=cfg.admm_rounds, iters=cfg.admm_iters,
+            rho0=cfg.admm_rho, sigma=cfg.admm_sigma, alpha=cfg.admm_alpha,
+            polish=cfg.polish, use_pallas=use_pallas, interpret=interpret,
+        )
+        u = sol.x.reshape(B, T, 2)
+        oa, od = u[:, :, 0], u[:, :, 1]
+        Ff, gf = cqp.F, cqp.g
+        X = (jnp.einsum("bij,bj->bi", Ff, sol.x) + gf).reshape(B, T, 4)
+        ov = jnp.concatenate([states[:, 2:3], X[:, :, 2]], axis=1)
+        have_ov = jnp.ones((B,), bool)
+
+    solved = (
+        jnp.all(jnp.isfinite(sol.x), axis=1)
+        & jnp.isfinite(sol.prim_res)
+        & (sol.prim_res < 1e-2)
+    )
+    accel = jnp.where(solved, oa[:, 0], jnp.asarray(cfg.max_decel, dtype))
+    steer = jnp.where(solved, od[:, 0], cs.last_steer)
+
+    new_cs = ControllerState(
+        oa=jnp.where(solved[:, None], oa, jnp.zeros_like(oa)),
+        od=jnp.where(solved[:, None], od, jnp.zeros_like(od)),
+        have_prev=solved,
+        ov=jnp.where(solved[:, None], ov, jnp.zeros_like(ov)),
+        have_ov=solved,
+        target_idx=target_idx,
+        last_steer=steer,
+    )
+    X = (jnp.einsum("bij,bj->bi", Ff, sol.x) + gf).reshape(B, T, 4)
+    plan_xy = jnp.concatenate([states[:, None, :2], X[:, :, :2]], axis=1)
+    return MPCStepOut(accel, steer, new_cs, solved, plan_xy, xref, target_idx)

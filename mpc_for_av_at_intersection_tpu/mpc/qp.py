@@ -71,11 +71,16 @@ def _admm_round(P, q, G, lo, hi, sigma, alpha, iters):
         n = P.shape[0]
         M = P + sigma * jnp.eye(n, dtype=P.dtype) + rho * (G.T @ G)
         L = jnp.linalg.cholesky(M)
+        # explicit inverse: one triangular solve with n right-hand sides per
+        # round, so the hot inner loop is pure matvecs (TPU's batched
+        # 1-rhs triangular solves are an order of magnitude slower);
+        # accuracy is recovered by the active-set polish afterwards
+        Minv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(n, dtype=P.dtype))
 
         def it(carry, _):
             x, z, y = carry
             rhs = sigma * x - q + G.T @ (rho * z - y)
-            xt = jax.scipy.linalg.cho_solve((L, True), rhs)
+            xt = Minv @ rhs
             Gxt = G @ xt
             x_n = alpha * xt + (1.0 - alpha) * x
             z_t = alpha * Gxt + (1.0 - alpha) * z
@@ -179,11 +184,16 @@ def solve_box_qp(
     y = jnp.zeros((m,), dtype) + zero
     rho = jnp.asarray(rho0, dtype) + zero
 
-    state = (x, z, y, rho)
     runner = _admm_round(Ps, qs, Gs, los, his, sigma, alpha, iters)
-    prim = dual = jnp.asarray(jnp.inf, dtype)
-    for _ in range(rounds):
-        state, (prim, dual) = runner(state)
+
+    def round_body(state, _):
+        state, res = runner(state)
+        return state, res
+
+    state, res_hist = jax.lax.scan(
+        round_body, (x, z, y, rho), None, length=rounds
+    )
+    prim, dual = res_hist[0][-1], res_hist[1][-1]
     xs, zs, ys, rho = state
 
     # unscale back to the original problem
@@ -217,6 +227,133 @@ def solve_box_qp(
     )
     prim_out = jnp.where(ok, viol_out, jnp.maximum(prim, viol_out))
     return QPSolution(x_out, y_out, ok, prim_out, dual)
+
+
+def solve_box_qp_batched(
+    P,      # (B, n, n)
+    q,      # (B, n)
+    G,      # (B, m, n)
+    lo,     # (B, m)
+    hi,     # (B, m)
+    rounds: int = 10,
+    iters: int = 50,
+    rho0: float = 0.1,
+    sigma: float = 1e-6,
+    alpha: float = 1.6,
+    polish: bool = True,
+    use_pallas: bool = True,
+    interpret: bool = False,
+) -> QPSolution:
+    """Natively batched solver: same algorithm as ``solve_box_qp`` but with
+    the ADMM inner loop fused into a Pallas TPU kernel (scenarios in the
+    lane dimension). Factorization, rho adaptation, and polish remain XLA.
+    Falls back to vmapped XLA matvecs when Pallas is unavailable."""
+    from ..ops.admm_pallas import LANES, admm_iterations_pallas
+
+    B, n = q.shape
+    m = lo.shape[1]
+    dtype = q.dtype
+
+    d, e, c = jax.vmap(_ruiz_equilibrate)(P, q, G)
+    Ps = (c[:, None, None] * d[:, :, None]) * P * d[:, None, :]
+    qs = c[:, None] * d * q
+    Gs = e[:, :, None] * G * d[:, None, :]
+    los = e * lo
+    his = e * hi
+
+    x = jnp.zeros((B, n), dtype)
+    z = jnp.clip(jnp.zeros((B, m), dtype), los, his)
+    y = jnp.zeros((B, m), dtype)
+    rho = jnp.full((B,), rho0, dtype)
+
+    pad = 0
+    if use_pallas and B % LANES != 0:
+        pad = LANES - B % LANES
+
+    eye = jnp.eye(n, dtype=dtype)
+
+    def round_body(carry, _):
+        x, z, y, rho = carry
+        GtG = jnp.einsum("bmn,bmk->bnk", Gs, Gs)
+        M = Ps + sigma * eye[None] + rho[:, None, None] * GtG
+        L = jnp.linalg.cholesky(M)
+        Minv = jax.scipy.linalg.cho_solve((L, True), jnp.broadcast_to(eye, (B, n, n)))
+
+        if use_pallas:
+            def padd(a):
+                return jnp.concatenate([a, a[-pad:]], axis=0) if pad else a
+
+            xp, zp, yp = admm_iterations_pallas(
+                padd(Minv), padd(Gs), padd(qs), padd(los), padd(his),
+                padd(rho), padd(x), padd(z), padd(y),
+                iters, sigma, alpha, interpret=interpret,
+            )
+            x, z, y = xp[:B].astype(dtype), zp[:B].astype(dtype), yp[:B].astype(dtype)
+        else:
+            def it(carry, _):
+                x, z, y = carry
+                t = rho[:, None] * z - y
+                rhs = sigma * x - qs + jnp.einsum("bmn,bm->bn", Gs, t)
+                xt = jnp.einsum("bnk,bk->bn", Minv, rhs)
+                Gxt = jnp.einsum("bmn,bn->bm", Gs, xt)
+                xn = alpha * xt + (1 - alpha) * x
+                zt = alpha * Gxt + (1 - alpha) * z
+                zn = jnp.clip(zt + y / rho[:, None], los, his)
+                yn = y + rho[:, None] * (zt - zn)
+                return (xn, zn, yn), None
+
+            (x, z, y), _ = jax.lax.scan(it, (x, z, y), None, length=iters)
+
+        # residuals + rho adaptation (per scenario)
+        Gx = jnp.einsum("bmn,bn->bm", Gs, x)
+        prim = jnp.max(jnp.abs(Gx - z), axis=1)
+        Px = jnp.einsum("bnk,bk->bn", Ps, x)
+        Gty = jnp.einsum("bmn,bm->bn", Gs, y)
+        dual = jnp.max(jnp.abs(Px + qs + Gty), axis=1)
+        prim_rel = prim / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Gx), axis=1), jnp.max(jnp.abs(z), axis=1)),
+            1e-6,
+        )
+        dual_rel = dual / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px), axis=1), jnp.max(jnp.abs(qs), axis=1)),
+            1e-6,
+        )
+        rho_n = jnp.clip(
+            rho * jnp.sqrt((prim_rel + 1e-12) / (dual_rel + 1e-12)), 1e-6, 1e6
+        )
+        return (x, z, y, rho_n), (prim, dual)
+
+    (x, z, y, rho), (prims, duals) = jax.lax.scan(
+        round_body, (x, z, y, rho), None, length=rounds
+    )
+    prim, dual = prims[-1], duals[-1]
+
+    # unscale
+    x = d * x
+    y = (e * y) / c[:, None]
+
+    def finish(P, q, G, lo, hi, x, y, prim, dual):
+        if not polish:
+            Gx = G @ x
+            viol = jnp.max(jnp.maximum(jnp.maximum(Gx - hi, lo - Gx), 0.0))
+            return QPSolution(x, y, jnp.asarray(False), viol, dual)
+        y_scale = jnp.maximum(jnp.max(jnp.abs(y)), 1.0)
+        xp, yp = _polish(P, q, G, lo, hi, x, y, 1e-4 * y_scale)
+        Gxp = G @ xp
+        span = jnp.maximum(jnp.max(jnp.abs(hi)), 1.0)
+        viol = jnp.max(jnp.maximum(Gxp - hi, lo - Gxp))
+        obj = 0.5 * x @ (P @ x) + q @ x
+        obj_p = 0.5 * xp @ (P @ xp) + q @ xp
+        finite = jnp.all(jnp.isfinite(xp)) & jnp.all(jnp.isfinite(yp))
+        ok = finite & (viol <= 1e-5 * span) & (obj_p <= obj + 1e-6 * jnp.abs(obj) + 1e-6)
+        x_out = jnp.where(ok, xp, x)
+        y_out = jnp.where(ok, yp, y)
+        Gx_out = G @ x_out
+        viol_out = jnp.max(jnp.maximum(jnp.maximum(Gx_out - hi, lo - Gx_out), 0.0))
+        prim_out = jnp.where(ok, viol_out, jnp.maximum(prim, viol_out))
+        return QPSolution(x_out, y_out, ok, prim_out, dual)
+
+    return jax.vmap(finish)(P, q, G, lo, hi, x, y, prim, dual)
 
 
 def kkt_residuals(P, q, G, lo, hi, x, y):

@@ -1,0 +1,94 @@
+"""Batched (Pallas-path) solver vs the per-scenario vmapped solver."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mpc_for_av_at_intersection_tpu.mpc import MPCConfig, solve_box_qp
+from mpc_for_av_at_intersection_tpu.mpc.qp import solve_box_qp_batched
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+def _random_batch(rng, B, n, m):
+    Z = rng.normal(size=(B, n, n))
+    P = np.einsum("bij,bkj->bik", Z, Z) + 0.1 * np.eye(n)
+    q = rng.normal(size=(B, n))
+    G = rng.normal(size=(B, m, n))
+    center = rng.normal(size=(B, m))
+    width = rng.uniform(0.1, 2.0, size=(B, m))
+    return (jnp.asarray(P, jnp.float32), jnp.asarray(q, jnp.float32),
+            jnp.asarray(G, jnp.float32), jnp.asarray(center - width, jnp.float32),
+            jnp.asarray(center + width, jnp.float32))
+
+
+def test_batched_xla_matches_vmapped():
+    rng = np.random.default_rng(0)
+    P, q, G, lo, hi = _random_batch(rng, 7, 6, 9)
+    ref = jax.vmap(lambda *a: solve_box_qp(*a, rounds=8, iters=60))(P, q, G, lo, hi)
+    got = solve_box_qp_batched(P, q, G, lo, hi, rounds=8, iters=60, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), atol=2e-4)
+
+
+def test_batched_pallas_interpret_matches_xla():
+    """Pallas kernel semantics via the interpreter (CPU) on a 128-batch."""
+    rng = np.random.default_rng(1)
+    P, q, G, lo, hi = _random_batch(rng, 128, 6, 9)
+    a = solve_box_qp_batched(P, q, G, lo, hi, rounds=4, iters=30, use_pallas=False)
+    b = solve_box_qp_batched(
+        P, q, G, lo, hi, rounds=4, iters=30, use_pallas=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x), atol=5e-4)
+    assert int(b.polished.sum()) >= int(a.polished.sum()) - 4
+
+
+def test_batched_pad_path():
+    rng = np.random.default_rng(2)
+    P, q, G, lo, hi = _random_batch(rng, 130, 6, 9)  # forces padding to 256
+    a = solve_box_qp_batched(P, q, G, lo, hi, rounds=4, iters=30, use_pallas=False)
+    b = solve_box_qp_batched(
+        P, q, G, lo, hi, rounds=4, iters=30, use_pallas=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x), atol=5e-4)
+
+
+def test_batched_mpc_step_matches_vmapped_mpc_step():
+    from mpc_for_av_at_intersection_tpu.core.angles import smooth_yaw_numpy
+    from mpc_for_av_at_intersection_tpu.models import bicycle_geometry
+    from mpc_for_av_at_intersection_tpu.mpc import init_controller_state, mpc_step
+    from mpc_for_av_at_intersection_tpu.mpc.batch import mpc_step_batched
+
+    geom = bicycle_geometry()
+    cfg = MPCConfig(T=13)
+    rng = np.random.default_rng(3)
+    B, N = 5, 200
+    dl = 0.083
+    turn = rng.normal(0, 0.01, size=(B, N)).cumsum(axis=1)
+    yaw = rng.uniform(-np.pi, np.pi, size=(B, 1)) + turn
+    xy = np.cumsum(np.stack([np.cos(yaw), np.sin(yaw)], axis=-1) * dl, axis=1)
+    course = np.concatenate([xy, yaw[..., None]], axis=-1)
+    for b in range(B):
+        course[b, :, 2] = smooth_yaw_numpy(course[b, :, 2])
+    i0 = rng.integers(3, 30, size=B)
+    states = np.stack(
+        [course[np.arange(B), i0, 0], course[np.arange(B), i0, 1],
+         rng.uniform(0, 8, B), course[np.arange(B), i0, 2]], axis=1
+    )
+
+    cs0 = init_controller_state(cfg, jnp.float32)
+    cs = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), cs0)
+    args = (
+        jnp.asarray(states, jnp.float32), jnp.asarray(course, jnp.float32),
+        jnp.zeros((B, N), jnp.float32), jnp.full((B,), N, jnp.int32),
+        jnp.full((B,), dl, jnp.float32),
+    )
+
+    ref = jax.vmap(lambda s, c, v, n, d, k: mpc_step(s, c, v, n, d, k, cfg, geom.wheelbase))(
+        *args, cs
+    )
+    got = mpc_step_batched(*args, cs, cfg, geom.wheelbase, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got.accel), np.asarray(ref.accel), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.steer), np.asarray(ref.steer), atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(got.target_idx), np.asarray(ref.target_idx))
