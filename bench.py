@@ -22,7 +22,17 @@ STEADY_ITERS = 10
 
 
 def main():
+    import pathlib
+
     import jax
+
+    # persistent compilation cache: repeated bench invocations (the driver
+    # runs this every round) skip the multi-minute TPU compile
+    cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     import jax.numpy as jnp
 
     from mpc_for_av_at_intersection_tpu.core.angles import smooth_yaw_numpy
