@@ -37,9 +37,12 @@ def _ruiz_equilibrate(P, q, G, iters: int = 10):
     n = P.shape[0]
     m = G.shape[0]
     dtype = P.dtype
-    d = jnp.ones((n,), dtype)
-    e = jnp.ones((m,), dtype)
-    c = jnp.asarray(1.0, dtype)
+    # carries seeded from inputs so varying-axis types line up under
+    # shard_map (a constant init would mismatch the varying loop output)
+    zero = q[0] * 0.0
+    d = jnp.ones((n,), dtype) + zero
+    e = jnp.ones((m,), dtype) + zero
+    c = jnp.asarray(1.0, dtype) + zero
     eps = jnp.asarray(1e-8, dtype)
 
     def body(_, carry):

@@ -110,6 +110,23 @@ def draw_search_points(search, ax, visualize_heuristic: bool = True):
     return sc
 
 
+def plot_halfplane_region(halfplanes, ax, extent=(-45, 45, -45, 45), res=400):
+    """Rasterize the region where ALL half-planes hold (debug tool; parity
+    with reference ``envs/visualise_half_planes.py`` minus its bitrot)."""
+    xs = np.linspace(extent[0], extent[1], res)
+    ys = np.linspace(extent[2], extent[3], res)
+    X, Y = np.meshgrid(xs, ys)
+    hp = np.asarray(halfplanes)
+    vals = hp[:, 0][:, None, None] * X[None] + hp[:, 1][:, None, None] * Y[None] + hp[:, 2][:, None, None]
+    inside = np.all(vals <= 0.0, axis=0)
+    ax.imshow(
+        inside, origin="lower", extent=extent, alpha=0.4, cmap="Reds",
+        interpolation="nearest",
+    )
+    ax.set_aspect("equal")
+    return inside
+
+
 def plot_telemetry(tel, dt: float = 0.2, axes=None, label: Optional[str] = None):
     """Speed / acceleration / reference-deviation traces
     (reference mpc_intersection.py:243-271)."""
