@@ -1,0 +1,129 @@
+"""Scaling + latency report: solves/s at 1 chip .. N devices, p50 tick latency.
+
+Complements bench.py (single-chip headline) with the BASELINE.md reporting
+requirements: scaling efficiency across the available mesh (run under a
+multi-chip slice to get 1-chip / 1-host / multi-host rows — this
+environment exposes one physical chip, so extra rows come from the virtual
+CPU mesh when present) and the p50 single-scenario control-step latency
+against the 0.2 s real-time budget.
+
+Prints one JSON object (not the driver's one-line bench contract —
+bench.py remains the headline).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _mk_instances(B, N_COURSE, HORIZON, dtype):
+    import jax.numpy as jnp
+
+    from mpc_for_av_at_intersection_tpu.core.angles import smooth_yaw_numpy
+
+    rng = np.random.default_rng(0)
+    dl = 0.083
+    turn = rng.normal(0.0, 0.01, size=(B, N_COURSE)).cumsum(axis=1)
+    yaw = rng.uniform(-np.pi, np.pi, size=(B, 1)) + turn
+    xy = np.cumsum(np.stack([np.cos(yaw), np.sin(yaw)], axis=-1) * dl, axis=1)
+    course = np.concatenate([xy, yaw[..., None]], axis=-1)
+    for b in range(B):
+        course[b, :, 2] = smooth_yaw_numpy(course[b, :, 2])
+    i0 = rng.integers(3, 40, size=B)
+    state = np.stack(
+        [course[np.arange(B), i0, 0], course[np.arange(B), i0, 1],
+         rng.uniform(0.0, 8.0, B), course[np.arange(B), i0, 2]], axis=1
+    )
+    return (jnp.asarray(state, dtype), jnp.asarray(course, dtype),
+            jnp.zeros((B, N_COURSE), dtype), jnp.full((B,), N_COURSE, jnp.int32),
+            jnp.full((B,), dl, dtype))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mpc_for_av_at_intersection_tpu.models import bicycle_geometry
+    from mpc_for_av_at_intersection_tpu.mpc import MPCConfig, init_controller_state, mpc_step
+    from mpc_for_av_at_intersection_tpu.mpc.batch import mpc_step_batched
+    from mpc_for_av_at_intersection_tpu.parallel import batch_mesh
+
+    geom = bicycle_geometry()
+    cfg = MPCConfig(T=20)
+    dtype = jnp.float32
+    use_pallas = jax.default_backend() == "tpu"
+    devices = jax.devices()
+    report = {"device": str(devices[0]), "n_devices": len(devices)}
+
+    # --- p50 single-scenario control-step latency (batch = 1) ---
+    args1 = _mk_instances(1, 512, 20, dtype)
+    cs1 = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (1,) + x.shape), init_controller_state(cfg, dtype)
+    )
+    step1 = jax.jit(
+        lambda s, c, v, n, d, k: jax.vmap(
+            lambda *a: mpc_step(*a, cfg, geom.wheelbase)
+        )(s, c, v, n, d, k)
+    )
+    out = step1(*args1, cs1)
+    jax.block_until_ready(out.accel)
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        out = step1(*args1, cs1)
+        jax.block_until_ready(out.accel)
+        lat.append(time.perf_counter() - t0)
+    report["p50_single_step_latency_ms"] = round(float(np.percentile(lat, 50)) * 1e3, 2)
+    report["realtime_budget_ms"] = 200.0
+
+    # --- throughput scaling over device counts ---
+    rows = []
+    B_per_dev = 2048 if use_pallas else 64  # CPU mesh: keep it tractable
+    for nd in sorted({1, len(devices)}):
+        B = B_per_dev * nd
+        args = _mk_instances(B, 512, 20, dtype)
+        cs = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), init_controller_state(cfg, dtype)
+        )
+        if nd > 1:
+            mesh = batch_mesh(devices[:nd])
+            sharding = NamedSharding(mesh, P("batch"))
+            args = tuple(jax.device_put(a, sharding) for a in args)
+            cs = jax.tree.map(lambda a: jax.device_put(a, sharding), cs)
+
+        stepB = jax.jit(
+            lambda s, c, v, n, d, k: mpc_step_batched(
+                s, c, v, n, d, k, cfg, geom.wheelbase, use_pallas=use_pallas
+            )
+        )
+        out = stepB(*args, cs)
+        jax.block_until_ready(out.accel)
+        t0 = time.perf_counter()
+        iters = 5
+        for _ in range(iters):
+            out = stepB(*args, cs)
+        jax.block_until_ready(out.accel)
+        dt = (time.perf_counter() - t0) / iters
+        rows.append({
+            "devices": nd,
+            "batch": B,
+            "solves_per_sec": round(B / dt, 1),
+            "solves_per_sec_per_device": round(B / dt / nd, 1),
+        })
+    if len(rows) == 2:
+        rows[1]["scaling_efficiency"] = round(
+            rows[1]["solves_per_sec_per_device"] / rows[0]["solves_per_sec_per_device"], 3
+        )
+    report["scaling"] = rows
+    if jax.default_backend() == "cpu":
+        report["note"] = (
+            "virtual CPU devices share physical cores; efficiency numbers "
+            "are only meaningful on a real multi-chip slice"
+        )
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
