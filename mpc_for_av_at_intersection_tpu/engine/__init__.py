@@ -8,6 +8,7 @@ from .closed_loop import (
     make_world,
     run_episode,
 )
+from .fleet import engine_tick_fleet, run_fleet_episodes
 from .multi_ego import (
     MultiEgoState,
     MultiEgoWorld,

@@ -181,15 +181,32 @@ def ego_subtick(
     engine (where "obstacles" are the other egos + scripted traffic).
     Returns (new per-ego state tuple, Telemetry, control).
     """
+    pre = ego_subtick_pre(
+        course, n_course, dl, goal_xy, ego, ctrl, cutoff_len, agent_idx,
+        first_tick, done, preds, preds_active, cfg, geom,
+    )
+    done_now, agent_idx, scan, cutoff_len, course_len_for_mpc, cv = pre
+
+    out = mpc_step(
+        ego, course, cv, course_len_for_mpc, dl, ctrl, cfg.mpc, geom.wheelbase
+    )
+
+    return ego_subtick_post(
+        course, ego, ctrl, done_now, agent_idx, scan, cutoff_len, out, cfg, geom
+    )
+
+
+def ego_subtick_pre(
+    course, n_course, dl, goal_xy, ego, ctrl: ControllerState,
+    cutoff_len, agent_idx, first_tick, done, preds, preds_active,
+    cfg: EngineConfig, geom: VehicleGeometry,
+):
+    """Everything before the MPC solve: goal test, localization advance,
+    reachability resample, conflict scan, cutoff / speed-zero decision."""
     mpc_cfg = cfg.mpc
     dt = mpc_cfg.dt
     N = course.shape[0]
     dtype = course.dtype
-    limits = SimLimits(
-        max_steer=mpc_cfg.max_steer,
-        max_speed=mpc_cfg.max_speed,
-        min_speed=mpc_cfg.min_speed,
-    )
     circle_centers = jnp.asarray(geom.circle_centers, dtype)
 
     # 1. goal test against the PREVIOUS tick's controller/cutoff state
@@ -249,8 +266,22 @@ def ego_subtick(
         course_len_for_mpc = cutoff_len
         cv = jnp.zeros((N,), dtype)
 
-    # 7. MPC solve
-    out = mpc_step(ego, course, cv, course_len_for_mpc, dl, ctrl, mpc_cfg, geom.wheelbase)
+    return done_now, agent_idx, scan, cutoff_len, course_len_for_mpc, cv
+
+
+def ego_subtick_post(
+    course, ego, ctrl: ControllerState, done_now, agent_idx, scan,
+    cutoff_len, out, cfg: EngineConfig, geom: VehicleGeometry,
+):
+    """Everything after the MPC solve: plant step, freeze-on-done,
+    telemetry assembly."""
+    mpc_cfg = cfg.mpc
+    dt = mpc_cfg.dt
+    limits = SimLimits(
+        max_steer=mpc_cfg.max_steer,
+        max_speed=mpc_cfg.max_speed,
+        min_speed=mpc_cfg.min_speed,
+    )
 
     dev = xref_deviation(ego, course, out.target_idx)
 

@@ -91,7 +91,15 @@ def _tracking_blocks(xref, reaches_end, cfg: MPCConfig, dtype):
 
 
 def condense(A, B, C, x0, xref, reaches_end, cfg: MPCConfig) -> CondensedQP:
-    """Build the dense condensed QP for one scenario/tick. vmap to batch."""
+    """Build the dense condensed QP for one scenario/tick. vmap to batch.
+
+    Runs under true-f32 matmul precision: TPU's default bf16x3 passes in
+    the F'QF products measurably perturb the QP data."""
+    with jax.default_matmul_precision("float32"):
+        return _condense_impl(A, B, C, x0, xref, reaches_end, cfg)
+
+
+def _condense_impl(A, B, C, x0, xref, reaches_end, cfg: MPCConfig) -> CondensedQP:
     T, nu = cfg.T, cfg.nu
     nx = 4
     dtype = A.dtype

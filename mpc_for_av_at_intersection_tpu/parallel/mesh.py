@@ -44,17 +44,33 @@ def run_batch_episodes(
     geom: VehicleGeometry,
     n_steps: int,
     mesh: Optional[Mesh] = None,
+    fast: bool = False,
 ):
     """Run a batch of scenarios in lockstep.
 
     Without a mesh: plain vmap (single device). With a mesh: shard_map over
     the 'batch' axis — per-device vmap plus a psum'd fleet summary, so the
-    cross-device reduction rides ICI collectives.
+    cross-device reduction rides ICI collectives. With ``fast=True``, the
+    per-device execution uses the fleet engine (batched tick around the
+    Pallas solver) instead of vmapping the whole tick; note its telemetry
+    is (T, B, ...) transposed to (B, T, ...) for a uniform return.
 
     Returns (final_states, telemetry, summary) where summary is a small
     replicated dict: scenarios finished, ticks-to-goal sum, solve failures.
     """
-    vrun = jax.vmap(lambda w, s: run_episode(w, s, cfg, geom, n_steps))
+    if fast:
+        from ..engine.fleet import run_fleet_episodes
+
+        use_pallas = jax.default_backend() == "tpu"
+
+        def vrun(w, s):
+            final, tel = run_fleet_episodes(
+                w, s, cfg, geom, n_steps, use_pallas=use_pallas
+            )
+            tel = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), tel)
+            return final, tel
+    else:
+        vrun = jax.vmap(lambda w, s: run_episode(w, s, cfg, geom, n_steps))
 
     def summarize(final, tel):
         return {

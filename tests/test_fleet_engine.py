@@ -1,0 +1,40 @@
+"""Fleet engine (batched tick around the Pallas solver) vs vmapped engine."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mpc_for_av_at_intersection_tpu import api
+from mpc_for_av_at_intersection_tpu.engine import EngineConfig, run_fleet_episodes
+from mpc_for_av_at_intersection_tpu.parallel import (
+    run_batch_episodes,
+    stack_states,
+    stack_worlds,
+)
+
+
+def test_fleet_engine_matches_vmapped_engine():
+    rng = np.random.default_rng(0)
+    geom, worlds, states, _ = api.sample_intersection_fleet(6, rng, n_steps=40)
+    wb, sb = stack_worlds(worlds), stack_states(states)
+    cfg = EngineConfig()
+
+    f_ref, t_ref, _ = run_batch_episodes(wb, sb, cfg, geom, 40)
+    f_new, t_new = jax.jit(
+        lambda w, s: run_fleet_episodes(w, s, cfg, geom, 40, use_pallas=False)
+    )(wb, sb)
+
+    # telemetry from the vmapped path is (B, T, ...); fleet path is (T, B, ...)
+    np.testing.assert_allclose(
+        np.asarray(t_new.x).T, np.asarray(t_ref.x), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_new.steer).T, np.asarray(t_ref.steer), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_new.ego), np.asarray(f_ref.ego), atol=2e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(f_new.done), np.asarray(f_ref.done)
+    )
