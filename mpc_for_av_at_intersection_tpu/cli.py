@@ -141,7 +141,8 @@ def _cmd_fleet(args):
     mesh = batch_mesh() if args.shard and len(jax.devices()) > 1 else None
     t0 = time.perf_counter()
     final, tel, summary = run_batch_episodes(
-        wb, sb, EngineConfig(), geom, args.steps, mesh=mesh
+        wb, sb, EngineConfig(), geom, args.steps, mesh=mesh,
+        fast=jax.default_backend() == "tpu",
     )
     jax.block_until_ready(summary)
     t_run = time.perf_counter() - t0
