@@ -341,7 +341,9 @@ def engine_tick(
         agents=agents,
         cutoff_len=jnp.where(done_now, st.cutoff_len, cutoff_len),
         agent_idx=jnp.where(done_now, st.agent_idx, agent_idx),
-        first_tick=jnp.asarray(False) | (st.first_tick & done_now),
+        # stays "first tick" only if the scenario finished before ever
+        # executing a control step (degenerate already-at-goal case)
+        first_tick=st.first_tick & done_now,
         done=done_now,
         ticks_to_goal=jnp.where(done_now & ~st.done, st.tick, st.ticks_to_goal),
         tick=st.tick + 1,

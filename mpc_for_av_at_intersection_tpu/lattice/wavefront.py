@@ -164,10 +164,13 @@ def wavefront_search(
     def body(carry, _):
         g, pose, parent, prim, closed, bg = carry
 
-        # --- select top-F open cells by f = g + h ---
+        # --- select ~top-F open cells by f = g + h ---
+        # approx_min_k: TPU-native partial reduction (exact top_k lowers to
+        # a full sort of the grid and dominated runtime ~100x); occasional
+        # recall misses just delay a cell by an iteration
         score = jnp.where(jnp.isfinite(g) & ~closed, g + heuristic(pose), jnp.inf)
-        neg, idxs = jax.lax.top_k(-score, F)
-        active = jnp.isfinite(neg)
+        vals, idxs = jax.lax.approx_min_k(score, F)
+        active = jnp.isfinite(vals)
         closed = closed.at[idxs].set(closed[idxs] | active)
 
         ep = pose[idxs]                                  # (F, 3)

@@ -58,12 +58,8 @@ def run_chunked(
     done_steps = 0
     if ckpt_path and pathlib.Path(ckpt_path).exists():
         state = load_state(ckpt_path, state0)
-        tick = np.asarray(jax.tree_util.tree_leaves(state)[-1])
-        # tick is the last leaf by construction of EngineState; fall back to 0
-        try:
-            done_steps = int(np.max(tick))
-        except Exception:
-            done_steps = 0
+        tick = getattr(state, "tick", None)
+        done_steps = int(np.max(np.asarray(tick))) if tick is not None else 0
 
     tels = []
     while done_steps < n_steps:
