@@ -130,7 +130,7 @@ def wavefront_search(
     N = cfg.n_cells
     dtype = start.dtype
 
-    hp = halfplanes.reshape(-1, 3)                     # (O*Hh, 3)
+    hp = halfplanes                                     # (O, Hh, 3)
 
     def heuristic(pose):
         d = jnp.hypot(pose[..., 0] - goal[0], pose[..., 1] - goal[1])
@@ -186,20 +186,17 @@ def wavefront_search(
         cand_g = eg[:, None] + prims.lengths[None, :]
 
         # --- collision: cc points in world frame vs all half-planes ---
+        # direct 5-D broadcast + fused reduces (no reshape between the
+        # compare and the reduction, so XLA can avoid materializing the
+        # (F, P, C, O, Hh) tensor)
         wx = (ep[:, None, None, 0] + c[:, None, None] * prims.cc[None, :, :, 0]
               - s[:, None, None] * prims.cc[None, :, :, 1])
         wy = (ep[:, None, None, 1] + s[:, None, None] * prims.cc[None, :, :, 0]
               + c[:, None, None] * prims.cc[None, :, :, 1])
-        # vals: (F, P, C, O*Hh)
-        vals = (wx[..., None] * hp[None, None, None, :, 0]
-                + wy[..., None] * hp[None, None, None, :, 1]
-                + hp[None, None, None, :, 2])
-        inside_hp = vals <= 0.0
-        O = halfplanes.shape[0]
-        Hh = halfplanes.shape[1]
-        inside_obs = jnp.all(
-            inside_hp.reshape(F, P, C, O, Hh), axis=-1
-        )                                                 # all rows of obstacle
+        vals = (wx[:, :, :, None, None] * hp[None, None, None, :, :, 0]
+                + wy[:, :, :, None, None] * hp[None, None, None, :, :, 1]
+                + hp[None, None, None, :, :, 2])          # (F, P, C, O, Hh)
+        inside_obs = jnp.all(vals <= 0.0, axis=-1)        # all rows of obstacle
         pt_valid = prims.cc_mask[None, :, :, None]
         collide = jnp.any(inside_obs & pt_valid & obstacle_valid[None, None, None, :],
                           axis=(2, 3))                    # (F, P)

@@ -38,3 +38,18 @@ def test_fleet_engine_matches_vmapped_engine():
     np.testing.assert_array_equal(
         np.asarray(f_new.done), np.asarray(f_ref.done)
     )
+
+
+def test_fleet_fast_path_through_batch_runner():
+    """run_batch_episodes(fast=True) returns the uniform (B, T) telemetry
+    layout and matches the slow path's summary."""
+    rng = np.random.default_rng(1)
+    geom, worlds, states, _ = api.sample_intersection_fleet(4, rng, n_steps=25)
+    wb, sb = stack_worlds(worlds), stack_states(states)
+    cfg = EngineConfig()
+
+    f1, t1, s1 = run_batch_episodes(wb, sb, cfg, geom, 25, fast=False)
+    f2, t2, s2 = run_batch_episodes(wb, sb, cfg, geom, 25, fast=True)
+    assert np.asarray(t2.x).shape == np.asarray(t1.x).shape
+    np.testing.assert_allclose(np.asarray(t2.x), np.asarray(t1.x), atol=2e-4)
+    assert int(s1["n_done"]) == int(s2["n_done"])
