@@ -19,8 +19,12 @@ Design guarantees:
   in tests. Expansion order is NOT the reference's (documented divergence;
   SURVEY 7.4).
 
-Supported cost model: the `modified` weight preset (edge cost = arc length,
-point-goal heuristic) — the variant every MPC driver uses.
+Supported cost models: the full ``SearchWeights`` family (the unified form
+of the reference's five search variants, motion_primitive_search_multi_lane
+.py:21-25): point- or area-goal heuristics, plus optional steering /
+obstacle-proximity / center-distance heuristic and edge-cost terms. Weight
+values are compile-time constants, so zero-weight terms cost nothing (the
+reference computes them lazily iff weight != 0, multi_lane.py:169-175).
 """
 
 from __future__ import annotations
@@ -34,7 +38,7 @@ import numpy as np
 
 from ..models import VehicleGeometry
 from .primitives import PrimitiveTable
-from .search import _resample_host
+from .search import SearchWeights, _resample_host
 
 _INF = jnp.float32(jnp.inf)
 
@@ -123,6 +127,7 @@ def wavefront_search(
     theta_tol,      # ()
     prims: PrimitiveDeviceData,
     cfg: WavefrontConfig,
+    weights: SearchWeights | None = None,
 ) -> WavefrontResult:
     P, C, _ = prims.cc.shape
     K = prims.points.shape[1]
@@ -131,12 +136,46 @@ def wavefront_search(
     dtype = start.dtype
 
     hp = halfplanes                                     # (O, Hh, 3)
+    w = weights if weights is not None else SearchWeights(h_theta=cfg.h_theta)
+
+    def wrap_pi(a):
+        return jnp.mod(a + jnp.pi, 2 * jnp.pi) - jnp.pi
+
+    # 1 / (min distance to any half-plane boundary), multi_lane.py:78-108.
+    # Padded rows ([0,0,+-1]) have zero normal and are masked out.
+    hp_f = hp.reshape(-1, 3)
+    hp_nrm = jnp.hypot(hp_f[:, 0], hp_f[:, 1])
+    hp_live = hp_nrm > 1e-9
+
+    def obstacle_proximity(x, y):
+        d = jnp.abs(x[..., None] * hp_f[:, 0] + y[..., None] * hp_f[:, 1]
+                    + hp_f[:, 2]) / jnp.where(hp_live, hp_nrm, 1.0)
+        dmin = jnp.min(jnp.where(hp_live, d, jnp.inf), axis=-1)
+        return 1.0 / jnp.maximum(dmin, 1e-9)
+
+    def goal_box_distance(pose):
+        dx = jnp.maximum(jnp.maximum(goal_box[0] - pose[..., 0], 0.0),
+                         pose[..., 0] - goal_box[2])
+        dy = jnp.maximum(jnp.maximum(goal_box[1] - pose[..., 1], 0.0),
+                         pose[..., 1] - goal_box[3])
+        return jnp.sqrt(dx * dx + dy * dy)
 
     def heuristic(pose):
-        d = jnp.hypot(pose[..., 0] - goal[0], pose[..., 1] - goal[1])
         adth = jnp.abs(pose[..., 2] - goal[2])
-        dth = jnp.minimum(adth, adth - theta_tol / 2.0)
-        return d + cfg.h_theta * dth
+        if w.heuristic_mode == "area":
+            # base preset: goal-AREA distance + 2.7 * theta excess
+            h = goal_box_distance(pose) + 2.7 * jnp.maximum(adth - theta_tol, 0.0)
+        else:
+            d = jnp.hypot(pose[..., 0] - goal[0], pose[..., 1] - goal[1])
+            dth = jnp.minimum(adth, adth - theta_tol / 2.0)
+            h = w.h_dist * d + w.h_theta * dth
+        if w.h_steering:
+            h = h + w.h_steering * jnp.abs(wrap_pi(goal[2] - pose[..., 2]))
+        if w.h_obstacle:
+            h = h + w.h_obstacle * obstacle_proximity(pose[..., 0], pose[..., 1])
+        if w.h_center:
+            h = h + w.h_center * jnp.hypot(pose[..., 0], pose[..., 1])
+        return h
 
     def in_goal(pose):
         dx = jnp.maximum(jnp.maximum(goal_box[0] - pose[..., 0], 0.0),
@@ -183,7 +222,18 @@ def wavefront_search(
         nyp = ep[:, None, 1] + s[:, None] * ex + c[:, None] * ey
         nth = _normalize(et[None, :] + ep[:, None, 2])
         cand = jnp.stack([nxp, nyp, nth], axis=-1)        # (F, P, 3)
-        cand_g = eg[:, None] + prims.lengths[None, :]
+        # edge cost terms (multi_lane.py:228-234). The steering change
+        # wrap_pi(nth - th0) == wrap_pi(end_theta) is constant per primitive.
+        edge = w.c_dist * prims.lengths
+        if w.c_steering:
+            edge = edge + w.c_steering * jnp.abs(wrap_pi(prims.ends[:, 2]))
+        cand_g = eg[:, None] + edge[None, :]
+        # quirk kept: edge obstacle term gated on the HEURISTIC obstacle
+        # weight in the multi-lane variant (multi_lane.py:230)
+        if w.c_obstacle and ((not w.gate_edge_obstacle_on_h) or w.h_obstacle):
+            cand_g = cand_g + w.c_obstacle * obstacle_proximity(nxp, nyp)
+        if w.c_center:
+            cand_g = cand_g + w.c_center * jnp.hypot(nxp, nyp)
 
         # --- collision: cc points in world frame vs all half-planes ---
         # direct 5-D broadcast + fused reduces (no reshape between the

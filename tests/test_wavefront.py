@@ -107,3 +107,50 @@ def test_wavefront_trajectory_is_valid():
         end = traj[-1]
         ga = sc.goal_area
         assert ga.distance_to_point(end[:2]) < 1.0
+
+
+WEIGHT_PRESETS = [
+    ("base", SearchWeights.base(), intersection(turn_indicator=2, start_pos=1)),
+    ("single_lane", SearchWeights.single_lane(), intersection(turn_indicator=1, start_pos=3)),
+    ("roundabout_w", SearchWeights.roundabout(), t_intersection(turn_indicator=1, start_pos=1)),
+    ("multi_lane", SearchWeights.multi_lane(), intersection(turn_indicator=3, start_pos=2)),
+    (
+        "multi_lane_obst",
+        SearchWeights.multi_lane(h_obstacle=0.5, c_center=0.05),
+        intersection(turn_indicator=1, start_pos=4),
+    ),
+]
+
+
+@pytest.mark.parametrize("name,w,sc", WEIGHT_PRESETS, ids=[p[0] for p in WEIGHT_PRESETS])
+def test_wavefront_weighted_variants_match_host(name, w, sc):
+    """The device search supports the full SearchWeights family (the unified
+    form of the reference's five search variants) and lands within the beam
+    band of the exact host search under each preset."""
+    geom = bicycle_geometry()
+    table = primitive_table(geom)
+    prims = prepare_primitives(table, geom)
+    cfg = WavefrontConfig()
+    arrs = compile_scenario(sc, margin=geom.radius)
+
+    fn = jax.jit(
+        lambda h, o, s, g, b, t: wavefront_search(
+            h, o, s, g, b, t, prims, cfg, weights=w
+        )
+    )
+    res = fn(
+        jnp.asarray(arrs.halfplanes, jnp.float32),
+        jnp.asarray(arrs.obstacle_valid),
+        jnp.asarray(arrs.start, jnp.float32),
+        jnp.asarray(arrs.goal_point, jnp.float32),
+        jnp.asarray(arrs.goal_area_corners, jnp.float32),
+        jnp.asarray(arrs.goal_theta_tol, jnp.float32),
+    )
+    assert bool(res.found), f"{name}: wavefront found no path"
+
+    host = MotionPrimitiveSearch(sc, geom, table, margin=geom.radius, weights=w)
+    cost_host, _, _ = host.run()
+    cost_dev = float(res.cost)
+    assert 0.85 * cost_host - 1e-6 <= cost_dev <= 1.10 * cost_host + 1e-6, (
+        f"{name}: device {cost_dev:.2f} vs host {cost_host:.2f}"
+    )
