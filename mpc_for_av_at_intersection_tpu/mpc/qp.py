@@ -111,8 +111,8 @@ def _admm_round(P, q, G, lo, hi, sigma, alpha, iters):
     return run
 
 
-def _polish(P, q, G, lo, hi, x, y, act_tol):
-    """Equality-constrained resolve on the ADMM-identified active set.
+def _polish_masks(P, q, G, lo, hi, act_lo, act_hi):
+    """Equality-constrained resolve on a given active-set guess.
 
     Fixed-shape trick: inactive constraint rows are replaced by identity
     rows forcing their multiplier to zero, so the KKT system keeps shape
@@ -122,8 +122,6 @@ def _polish(P, q, G, lo, hi, x, y, act_tol):
     m = G.shape[0]
     dtype = P.dtype
 
-    act_lo = y < -act_tol
-    act_hi = y > act_tol
     act = act_lo | act_hi
     d = act.astype(dtype)
     b = jnp.where(act_lo, lo, hi)
@@ -135,15 +133,70 @@ def _polish(P, q, G, lo, hi, x, y, act_tol):
     K = K.at[n:, n:].set(-jnp.diag(1.0 - d))
     rhs = jnp.concatenate([-q, d * b])
 
-    # LU once + one step of iterative refinement (helps fp32 a lot)
+    # LU once + two steps of iterative refinement (helps fp32 a lot)
     lu, piv = jax.scipy.linalg.lu_factor(K)
     sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
-    resid = rhs - K @ sol
-    sol = sol + jax.scipy.linalg.lu_solve((lu, piv), resid)
+    for _ in range(2):
+        resid = rhs - K @ sol
+        sol = sol + jax.scipy.linalg.lu_solve((lu, piv), resid)
 
     xp = sol[:n]
     yp = d * sol[n:]
     return xp, yp
+
+
+def _polish(P, q, G, lo, hi, x, y, act_tol):
+    """Dual-identified polish (backward-compatible single-attempt entry)."""
+    return _polish_masks(P, q, G, lo, hi, y < -act_tol, y > act_tol)
+
+
+def _polish_and_select(P, q, G, lo, hi, x, y, prim, dual, act_tol_rel):
+    """Two-attempt polish with branchless selection.
+
+    Attempt 1 identifies the active set from the ADMM duals (the OSQP
+    recipe). Attempt 2 re-identifies it from primal proximity (|Gx - bound|
+    small) — this rescues the rare instances where a loosely-converged dual
+    mis-identifies the set (the observed ~1/25k fleet-tick failure tail).
+    Both resolves are tiny (n+m)^2 LU solves; always computing both keeps
+    the path branchless under jit/vmap.
+    """
+    y_scale = jnp.maximum(jnp.max(jnp.abs(y)), 1.0)
+    tol = act_tol_rel * y_scale
+    xp1, yp1 = _polish_masks(P, q, G, lo, hi, y < -tol, y > tol)
+
+    Gx = G @ x
+    row_span = jnp.maximum(jnp.maximum(jnp.abs(lo), jnp.abs(hi)), 1.0)
+    ptol = 1e-3 * row_span
+    # a row cannot be active at both bounds; break ties toward the closer one
+    near_lo = (Gx - lo <= ptol) & (Gx - lo <= hi - Gx)
+    near_hi = (hi - Gx <= ptol) & (hi - Gx < Gx - lo)
+    xp2, yp2 = _polish_masks(P, q, G, lo, hi, near_lo, near_hi)
+
+    span = jnp.maximum(jnp.max(jnp.abs(hi)), 1.0)
+    obj = 0.5 * x @ (P @ x) + q @ x
+
+    def accept(xp, yp):
+        Gxp = G @ xp
+        viol = jnp.max(jnp.maximum(Gxp - hi, lo - Gxp))
+        obj_p = 0.5 * xp @ (P @ xp) + q @ xp
+        finite = jnp.all(jnp.isfinite(xp)) & jnp.all(jnp.isfinite(yp))
+        return finite & (viol <= 1e-5 * span) & (
+            obj_p <= obj + 1e-6 * jnp.abs(obj) + 1e-6
+        )
+
+    ok1 = accept(xp1, yp1)
+    ok2 = accept(xp2, yp2)
+    ok = ok1 | ok2
+    x_out = jnp.where(ok1, xp1, jnp.where(ok2, xp2, x))
+    y_out = jnp.where(ok1, yp1, jnp.where(ok2, yp2, y))
+    # report the primal infeasibility of the RETURNED x (a successful polish
+    # means an exact solve even when the raw ADMM residual was loose)
+    Gx_out = G @ x_out
+    viol_out = jnp.max(
+        jnp.maximum(jnp.maximum(Gx_out - hi, lo - Gx_out), 0.0)
+    )
+    prim_out = jnp.where(ok, viol_out, jnp.maximum(prim, viol_out))
+    return QPSolution(x_out, y_out, ok, prim_out, dual)
 
 
 def solve_box_qp(
@@ -224,28 +277,7 @@ def _solve_box_qp_impl(
         viol = jnp.max(jnp.maximum(jnp.maximum(Gx - hi, lo - Gx), 0.0))
         return QPSolution(x, y, jnp.asarray(False), viol, dual)
 
-    y_scale = jnp.maximum(jnp.max(jnp.abs(y)), 1.0)
-    xp, yp = _polish(P, q, G, lo, hi, x, y, act_tol_rel * y_scale)
-
-    # acceptance: finite, primal-feasible (to tolerance), objective no worse
-    Gxp = G @ xp
-    span = jnp.maximum(jnp.max(jnp.abs(hi)), 1.0)
-    viol = jnp.max(jnp.maximum(Gxp - hi, lo - Gxp))
-    obj = 0.5 * x @ (P @ x) + q @ x
-    obj_p = 0.5 * xp @ (P @ xp) + q @ xp
-    finite = jnp.all(jnp.isfinite(xp)) & jnp.all(jnp.isfinite(yp))
-    ok = finite & (viol <= 1e-5 * span) & (obj_p <= obj + 1e-6 * jnp.abs(obj) + 1e-6)
-
-    x_out = jnp.where(ok, xp, x)
-    y_out = jnp.where(ok, yp, y)
-    # report the primal infeasibility of the RETURNED x (a successful polish
-    # means an exact solve even when the raw ADMM residual was loose)
-    Gx_out = G @ x_out
-    viol_out = jnp.max(
-        jnp.maximum(jnp.maximum(Gx_out - hi, lo - Gx_out), 0.0)
-    )
-    prim_out = jnp.where(ok, viol_out, jnp.maximum(prim, viol_out))
-    return QPSolution(x_out, y_out, ok, prim_out, dual)
+    return _polish_and_select(P, q, G, lo, hi, x, y, prim, dual, act_tol_rel)
 
 
 def solve_box_qp_batched(
@@ -367,21 +399,7 @@ def _solve_box_qp_batched_impl(
             Gx = G @ x
             viol = jnp.max(jnp.maximum(jnp.maximum(Gx - hi, lo - Gx), 0.0))
             return QPSolution(x, y, jnp.asarray(False), viol, dual)
-        y_scale = jnp.maximum(jnp.max(jnp.abs(y)), 1.0)
-        xp, yp = _polish(P, q, G, lo, hi, x, y, 1e-4 * y_scale)
-        Gxp = G @ xp
-        span = jnp.maximum(jnp.max(jnp.abs(hi)), 1.0)
-        viol = jnp.max(jnp.maximum(Gxp - hi, lo - Gxp))
-        obj = 0.5 * x @ (P @ x) + q @ x
-        obj_p = 0.5 * xp @ (P @ xp) + q @ xp
-        finite = jnp.all(jnp.isfinite(xp)) & jnp.all(jnp.isfinite(yp))
-        ok = finite & (viol <= 1e-5 * span) & (obj_p <= obj + 1e-6 * jnp.abs(obj) + 1e-6)
-        x_out = jnp.where(ok, xp, x)
-        y_out = jnp.where(ok, yp, y)
-        Gx_out = G @ x_out
-        viol_out = jnp.max(jnp.maximum(jnp.maximum(Gx_out - hi, lo - Gx_out), 0.0))
-        prim_out = jnp.where(ok, viol_out, jnp.maximum(prim, viol_out))
-        return QPSolution(x_out, y_out, ok, prim_out, dual)
+        return _polish_and_select(P, q, G, lo, hi, x, y, prim, dual, 1e-4)
 
     return jax.vmap(finish)(P, q, G, lo, hi, x, y, prim, dual)
 
