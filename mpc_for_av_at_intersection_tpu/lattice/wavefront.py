@@ -128,15 +128,28 @@ def wavefront_search(
     prims: PrimitiveDeviceData,
     cfg: WavefrontConfig,
     weights: SearchWeights | None = None,
+    collision: str = "auto",
 ) -> WavefrontResult:
+    """collision: "xla" (broadcast, any backend), "pallas" (fused TPU
+    kernel, zero HBM intermediates), "pallas_interpret" (kernel semantics
+    on CPU, for tests), or "auto" (pallas iff running on TPU)."""
     P, C, _ = prims.cc.shape
     K = prims.points.shape[1]
     F = cfg.frontier
     N = cfg.n_cells
     dtype = start.dtype
 
+    if collision == "auto":
+        collision = "pallas" if jax.default_backend() == "tpu" else "xla"
+
     hp = halfplanes                                     # (O, Hh, 3)
     w = weights if weights is not None else SearchWeights(h_theta=cfg.h_theta)
+
+    packed = None
+    if collision in ("pallas", "pallas_interpret"):
+        from ..ops.collision_pallas import frontier_collision, pack_collision
+
+        packed = pack_collision(prims.cc, prims.cc_mask, hp, obstacle_valid)
 
     def wrap_pi(a):
         return jnp.mod(a + jnp.pi, 2 * jnp.pi) - jnp.pi
@@ -236,20 +249,28 @@ def wavefront_search(
             cand_g = cand_g + w.c_center * jnp.hypot(nxp, nyp)
 
         # --- collision: cc points in world frame vs all half-planes ---
-        # direct 5-D broadcast + fused reduces (no reshape between the
-        # compare and the reduction, so XLA can avoid materializing the
-        # (F, P, C, O, Hh) tensor)
-        wx = (ep[:, None, None, 0] + c[:, None, None] * prims.cc[None, :, :, 0]
-              - s[:, None, None] * prims.cc[None, :, :, 1])
-        wy = (ep[:, None, None, 1] + s[:, None, None] * prims.cc[None, :, :, 0]
-              + c[:, None, None] * prims.cc[None, :, :, 1])
-        vals = (wx[:, :, :, None, None] * hp[None, None, None, :, :, 0]
-                + wy[:, :, :, None, None] * hp[None, None, None, :, :, 1]
-                + hp[None, None, None, :, :, 2])          # (F, P, C, O, Hh)
-        inside_obs = jnp.all(vals <= 0.0, axis=-1)        # all rows of obstacle
-        pt_valid = prims.cc_mask[None, :, :, None]
-        collide = jnp.any(inside_obs & pt_valid & obstacle_valid[None, None, None, :],
-                          axis=(2, 3))                    # (F, P)
+        if collision in ("pallas", "pallas_interpret"):
+            # fused VMEM-resident kernel (ops/collision_pallas.py)
+            collide = frontier_collision(
+                ep, packed, interpret=(collision == "pallas_interpret")
+            )
+        else:
+            # direct 5-D broadcast + fused reduces (no reshape between the
+            # compare and the reduction, so XLA can avoid materializing the
+            # (F, P, C, O, Hh) tensor)
+            wx = (ep[:, None, None, 0] + c[:, None, None] * prims.cc[None, :, :, 0]
+                  - s[:, None, None] * prims.cc[None, :, :, 1])
+            wy = (ep[:, None, None, 1] + s[:, None, None] * prims.cc[None, :, :, 0]
+                  + c[:, None, None] * prims.cc[None, :, :, 1])
+            vals = (wx[:, :, :, None, None] * hp[None, None, None, :, :, 0]
+                    + wy[:, :, :, None, None] * hp[None, None, None, :, :, 1]
+                    + hp[None, None, None, :, :, 2])      # (F, P, C, O, Hh)
+            inside_obs = jnp.all(vals <= 0.0, axis=-1)    # all rows of obstacle
+            pt_valid = prims.cc_mask[None, :, :, None]
+            collide = jnp.any(
+                inside_obs & pt_valid & obstacle_valid[None, None, None, :],
+                axis=(2, 3),
+            )                                             # (F, P)
 
         valid = active[:, None] & ~collide
 
