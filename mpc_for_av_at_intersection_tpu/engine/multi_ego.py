@@ -36,8 +36,17 @@ from ..agents import (
     predict_constant_control,
 )
 from ..models import VehicleGeometry
+from ..mpc.batch import mpc_step_batched
 from ..mpc.controller import ControllerState, init_controller_state
-from .closed_loop import EngineConfig, Telemetry, WorldArrays, ego_subtick, make_world
+from .closed_loop import (
+    EngineConfig,
+    Telemetry,
+    WorldArrays,
+    ego_subtick,
+    ego_subtick_post,
+    ego_subtick_pre,
+    make_world,
+)
 
 
 class MultiEgoWorld(NamedTuple):
@@ -163,14 +172,93 @@ def multi_ego_tick(
     return new_st, tel
 
 
+def multi_ego_tick_batched(
+    world: MultiEgoWorld,
+    st: MultiEgoState,
+    cfg: EngineConfig,
+    geom: VehicleGeometry,
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """Same semantics as ``multi_ego_tick`` but the E egos' QPs are solved
+    as ONE natively batched ``mpc_step_batched`` call (the fused Pallas
+    ADMM kernel), mirroring the fleet engine's pre -> batched solve ->
+    post split. Preferred at E >= 8; equivalence covered by tests."""
+    dt = cfg.mpc.dt
+    E = st.egos.shape[0]
+    dtype = st.egos.dtype
+
+    ego_obs6 = jnp.stack(
+        [
+            st.egos[:, 0], st.egos[:, 1], st.egos[:, 2], st.egos[:, 3],
+            jnp.zeros((E,), dtype), st.ctrls.last_steer,
+        ],
+        axis=1,
+    )
+    scripted_obs6 = agents_get(world.agent_params, st.agents, dt)
+    all_obs6 = jnp.concatenate([ego_obs6, scripted_obs6])
+    preds = predict_constant_control(all_obs6, dt, geom.wheelbase, cfg.n_pred)
+
+    eye = jnp.eye(E, dtype=bool)
+    scripted_active = jnp.broadcast_to(
+        world.agent_params.active, (E,) + world.agent_params.active.shape
+    )
+    active = jnp.concatenate([~eye, scripted_active], axis=1)
+
+    pre = jax.vmap(
+        lambda course, n, dl, goal, ego, ctrl, cut, aidx, done, act:
+        ego_subtick_pre(course, n, dl, goal, ego, ctrl, cut, aidx,
+                        st.first_tick, done, preds, act, cfg, geom)
+    )(
+        world.courses, world.n_courses, world.dls, world.goals_xy,
+        st.egos, st.ctrls, st.cutoff_lens, st.agent_idxs, st.done, active,
+    )
+    done_now, agent_idx, scan, cutoff_len, course_len_for_mpc, cv = pre
+
+    out = mpc_step_batched(
+        st.egos, world.courses, cv, course_len_for_mpc, world.dls,
+        st.ctrls, cfg.mpc, geom.wheelbase,
+        use_pallas=use_pallas, interpret=interpret,
+    )
+
+    (egos, ctrls, cutoffs, aidxs, done_out), tel = jax.vmap(
+        lambda course, ego, c, dn, ai, sc, cl, o:
+        ego_subtick_post(course, ego, c, dn, ai, sc, cl, o, cfg, geom)
+    )(world.courses, st.egos, st.ctrls, done_now, agent_idx, scan,
+      cutoff_len, out)
+
+    agents = agents_step(world.agent_params, st.agents, dt, geom.wheelbase)
+
+    new_st = MultiEgoState(
+        egos=egos,
+        ctrls=ctrls,
+        agents=agents,
+        cutoff_lens=jnp.where(done_out, st.cutoff_lens, cutoffs),
+        agent_idxs=jnp.where(done_out, st.agent_idxs, aidxs),
+        first_tick=jnp.asarray(False),
+        done=done_out,
+        ticks_to_goal=jnp.where(
+            done_out & ~st.done, st.tick, st.ticks_to_goal
+        ),
+        tick=st.tick + 1,
+    )
+    return new_st, tel
+
+
 def run_multi_ego_episode(
     world: MultiEgoWorld,
     state0: MultiEgoState,
     cfg: EngineConfig,
     geom: VehicleGeometry,
     n_steps: int,
+    batched: bool = False,
+    use_pallas: bool = True,
 ):
     def step(st, _):
+        if batched:
+            return multi_ego_tick_batched(
+                world, st, cfg, geom, use_pallas=use_pallas
+            )
         return multi_ego_tick(world, st, cfg, geom)
 
     return jax.lax.scan(step, state0, None, length=n_steps)

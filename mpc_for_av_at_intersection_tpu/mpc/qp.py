@@ -111,43 +111,65 @@ def _admm_round(P, q, G, lo, hi, sigma, alpha, iters):
     return run
 
 
-def _polish_masks(P, q, G, lo, hi, act_lo, act_hi):
-    """Equality-constrained resolve on a given active-set guess.
+class _PolishFactors(NamedTuple):
+    """Active-set-independent factorizations, shared across attempts."""
 
-    Fixed-shape trick: inactive constraint rows are replaced by identity
-    rows forcing their multiplier to zero, so the KKT system keeps shape
-    (n+m, n+m) regardless of which set is active.
+    Lp: jnp.ndarray        # (n, n) Cholesky of P
+    H: jnp.ndarray         # (m, m) G P^-1 G'
+    Piq: jnp.ndarray       # (n,) P^-1 q
+
+
+def _polish_factor(P, q, G):
+    """One Cholesky of P + one Gram matrix; every active-set guess then
+    costs only a Cholesky of its masked (m, m) Schur complement — no
+    pivoted LU anywhere (batched LU is the slowest linalg op on TPU)."""
+    Lp = jnp.linalg.cholesky(P)
+    Y = jax.scipy.linalg.cho_solve((Lp, True), G.T)    # (n, m) = P^-1 G'
+    H = G @ Y
+    Piq = jax.scipy.linalg.cho_solve((Lp, True), q)
+    return _PolishFactors(Lp, H, Piq)
+
+
+def _polish_masks(P, q, G, lo, hi, act_lo, act_hi, fac: _PolishFactors):
+    """Equality-constrained resolve on a given active-set guess via the
+    Schur complement of the KKT system.
+
+    Fixed-shape trick: inactive rows contribute an identity row to the
+    Schur matrix S = D H D + (I - D), forcing their multiplier to zero, so
+    S keeps shape (m, m) regardless of which set is active. One step of
+    iterative refinement through the same factorizations recovers fp32
+    accuracy (the explicit P^-1 round-trip loses a few digits).
     """
-    n = P.shape[0]
     m = G.shape[0]
     dtype = P.dtype
-
     act = act_lo | act_hi
     d = act.astype(dtype)
     b = jnp.where(act_lo, lo, hi)
 
-    K = jnp.zeros((n + m, n + m), dtype)
-    K = K.at[:n, :n].set(P)
-    K = K.at[:n, n:].set(G.T * d[None, :])
-    K = K.at[n:, :n].set(d[:, None] * G)
-    K = K.at[n:, n:].set(-jnp.diag(1.0 - d))
-    rhs = jnp.concatenate([-q, d * b])
+    S = d[:, None] * fac.H * d[None, :] + jnp.diag(1.0 - d)
+    Ls = jnp.linalg.cholesky(S)
 
-    # LU once + two steps of iterative refinement (helps fp32 a lot)
-    lu, piv = jax.scipy.linalg.lu_factor(K)
-    sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
-    for _ in range(2):
-        resid = rhs - K @ sol
-        sol = sol + jax.scipy.linalg.lu_solve((lu, piv), resid)
+    def kkt_solve(r1, r2):
+        # P dx + G'D dl = r1 ; D G dx = r2 ; (I-D) dl = 0
+        Pir1 = jax.scipy.linalg.cho_solve((fac.Lp, True), r1)
+        dl = jax.scipy.linalg.cho_solve((Ls, True), d * (G @ Pir1) - r2)
+        dx = Pir1 - jax.scipy.linalg.cho_solve((fac.Lp, True), G.T @ (d * dl))
+        return dx, dl
 
-    xp = sol[:n]
-    yp = d * sol[n:]
-    return xp, yp
+    xp, lam = kkt_solve(-q, d * b)
+    # one refinement pass (exact KKT residual through the same factors)
+    r1 = -(q + P @ xp + G.T @ (d * lam))
+    r2 = d * (b - G @ xp)
+    dx, dl = kkt_solve(r1, r2)
+    xp = xp + dx
+    lam = lam + dl
+    return xp, d * lam
 
 
 def _polish(P, q, G, lo, hi, x, y, act_tol):
     """Dual-identified polish (backward-compatible single-attempt entry)."""
-    return _polish_masks(P, q, G, lo, hi, y < -act_tol, y > act_tol)
+    fac = _polish_factor(P, q, G)
+    return _polish_masks(P, q, G, lo, hi, y < -act_tol, y > act_tol, fac)
 
 
 def _polish_and_select(P, q, G, lo, hi, x, y, prim, dual, act_tol_rel):
@@ -157,12 +179,14 @@ def _polish_and_select(P, q, G, lo, hi, x, y, prim, dual, act_tol_rel):
     recipe). Attempt 2 re-identifies it from primal proximity (|Gx - bound|
     small) — this rescues the rare instances where a loosely-converged dual
     mis-identifies the set (the observed ~1/25k fleet-tick failure tail).
-    Both resolves are tiny (n+m)^2 LU solves; always computing both keeps
+    The P-Cholesky and Gram matrix are factored once and shared; each
+    attempt adds only an (m, m) Cholesky, and always computing both keeps
     the path branchless under jit/vmap.
     """
+    fac = _polish_factor(P, q, G)
     y_scale = jnp.maximum(jnp.max(jnp.abs(y)), 1.0)
     tol = act_tol_rel * y_scale
-    xp1, yp1 = _polish_masks(P, q, G, lo, hi, y < -tol, y > tol)
+    xp1, yp1 = _polish_masks(P, q, G, lo, hi, y < -tol, y > tol, fac)
 
     Gx = G @ x
     row_span = jnp.maximum(jnp.maximum(jnp.abs(lo), jnp.abs(hi)), 1.0)
@@ -170,7 +194,7 @@ def _polish_and_select(P, q, G, lo, hi, x, y, prim, dual, act_tol_rel):
     # a row cannot be active at both bounds; break ties toward the closer one
     near_lo = (Gx - lo <= ptol) & (Gx - lo <= hi - Gx)
     near_hi = (hi - Gx <= ptol) & (hi - Gx < Gx - lo)
-    xp2, yp2 = _polish_masks(P, q, G, lo, hi, near_lo, near_hi)
+    xp2, yp2 = _polish_masks(P, q, G, lo, hi, near_lo, near_hi, fac)
 
     span = jnp.maximum(jnp.max(jnp.abs(hi)), 1.0)
     obj = 0.5 * x @ (P @ x) + q @ x

@@ -82,3 +82,39 @@ def test_two_ego_crossing():
 
     # the interaction machinery must have engaged for at least one ego
     assert tel.collision_found.any()
+
+
+def test_batched_tick_matches_vmapped_tick():
+    """multi_ego_tick_batched (fleet-style pre -> batched solver -> post)
+    must evolve the episode like the vmapped per-ego tick."""
+    from mpc_for_av_at_intersection_tpu.engine.multi_ego import (
+        multi_ego_tick,
+        multi_ego_tick_batched,
+    )
+
+    geom = bicycle_geometry()
+    table = primitive_table(geom)
+    trajs = [
+        _course(geom, table, start_pos=1, turn=2),
+        _course(geom, table, start_pos=4, turn=1),
+    ]
+    cfg = EngineConfig()
+    params, ag = stack_agents([], n_slots=cfg.n_agents)
+    world = make_multi_ego_world(trajs, params, cfg)
+    st_a = init_multi_ego_state(world, ag, cfg, 12)
+    st_b = st_a
+
+    tick_a = jax.jit(lambda s: multi_ego_tick(world, s, cfg, geom))
+    tick_b = jax.jit(
+        lambda s: multi_ego_tick_batched(world, s, cfg, geom, use_pallas=False)
+    )
+    for _ in range(12):
+        st_a, tel_a = tick_a(st_a)
+        st_b, tel_b = tick_b(st_b)
+        np.testing.assert_allclose(
+            np.asarray(st_b.egos), np.asarray(st_a.egos), atol=2e-4
+        )
+        assert np.array_equal(np.asarray(st_b.done), np.asarray(st_a.done))
+        np.testing.assert_allclose(
+            np.asarray(tel_b.accel), np.asarray(tel_a.accel), atol=2e-3
+        )
