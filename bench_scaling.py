@@ -117,12 +117,47 @@ def main():
             rows[1]["solves_per_sec_per_device"] / rows[0]["solves_per_sec_per_device"], 3
         )
     report["scaling"] = rows
+
+    # --- max real-time batch: largest fleet whose full solve tick stays
+    # under the 0.2 s control budget on one device ---
+    if use_pallas:
+        rt_rows = []
+        for B in (1024, 2048, 3072, 3584, 4096):
+            args = _mk_instances(B, 512, 20, dtype)
+            cs = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+                init_controller_state(cfg, dtype),
+            )
+            stepB = jax.jit(
+                lambda s, c, v, n, d, k: mpc_step_batched(
+                    s, c, v, n, d, k, cfg, geom.wheelbase, use_pallas=use_pallas
+                )
+            )
+            out = stepB(*args, cs)
+            jax.block_until_ready(out.accel)
+            t0 = time.perf_counter()
+            for _ in range(5):
+                out = stepB(*args, cs)
+            jax.block_until_ready(out.accel)
+            ms = (time.perf_counter() - t0) / 5 * 1e3
+            rt_rows.append({"batch": B, "tick_ms": round(ms, 1),
+                            "realtime": ms < 200.0})
+        report["realtime_batch_sweep"] = rt_rows
+        ok = [r["batch"] for r in rt_rows if r["realtime"]]
+        report["max_realtime_batch_per_chip"] = max(ok) if ok else 0
+
     if jax.default_backend() == "cpu":
         report["note"] = (
             "virtual CPU devices share physical cores; efficiency numbers "
             "are only meaningful on a real multi-chip slice"
         )
-    print(json.dumps(report, indent=2))
+    out_js = json.dumps(report, indent=2)
+    print(out_js)
+    import sys
+
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            f.write(out_js + "\n")
 
 
 if __name__ == "__main__":

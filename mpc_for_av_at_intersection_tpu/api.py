@@ -48,6 +48,7 @@ from .worlds import (
     intersection,
     intersection_multi_lanes,
     roundabout,
+    roundabout_big,
     t_intersection,
 )
 
@@ -145,16 +146,19 @@ def build_t_intersection_basic(
 
 
 def build_roundabout(
-    start_pos: int = 1, turn_indicator: int = 1, other_vehicles: bool = True,
-    cfg: Optional[EngineConfig] = None, n_steps: int = 320,
+    start_pos: int = 1, turn_indicator: int = 4, other_vehicles: bool = True,
+    big: bool = True, cfg: Optional[EngineConfig] = None, n_steps: int = 320,
 ) -> DriverSetup:
-    """Roundabout driver (reference ``mpc_roundabout.py:36-49``).
+    """Roundabout driver (reference ``mpc_roundabout.py:31-49``).
 
-    Note: the reference driver's own config (turn_indicator=4, a U-turn) has
-    NO feasible lattice path — verified by running the reference's roundabout
-    search on it ("No solution found"): the hidden boundary walls + rule box
-    block the maneuver at margin=radius. Upstream bitrot; default here is
-    the feasible left turn. U-turns plan fine where geometry permits."""
+    The reference driver runs the BIG roundabout geometry
+    (``mpc_roundabout.py:11`` imports ``envs.roundabout_big``; road 4.2,
+    island 4, center r=4) with start_pos=1, turn_indicator=4 (a U-turn) and
+    two scripted roundabout vehicles — exactly the defaults here. The
+    U-turn is feasible only on the big geometry (our host search and the
+    reference's roundabout search both find it at cost 109.80876...; on the
+    SMALL roundabout both fail — see QUIRKS #18). Pass ``big=False`` for
+    the small-geometry variant (``envs/roundabout.py``)."""
     cfg = cfg or EngineConfig()
     rows = []
     if other_vehicles:
@@ -162,8 +166,9 @@ def build_roundabout(
             make_roundabout_agent(direction=1, turning=True, speed=25 / 3.6, offset=1.0),
             make_roundabout_agent(direction=-1, turning=True, speed=25 / 3.6, offset=4.0),
         ]
+    env = roundabout_big if big else roundabout
     return _single(
-        roundabout(turn_indicator=turn_indicator, start_pos=start_pos),
+        env(turn_indicator=turn_indicator, start_pos=start_pos),
         rows, cfg, weights=SearchWeights.roundabout(), n_steps=n_steps,
     )
 
@@ -241,6 +246,54 @@ def build_multi_ego_intersection(
     return DriverSetup(geom, world, state0, cfg, trajs[0], trajectories=trajs)
 
 
+def plan_courses_batch(
+    scenarios,
+    geom: VehicleGeometry,
+    weights: SearchWeights = SearchWeights.modified(),
+    planner: str = "device",
+    wavefront_cfg=None,
+):
+    """Plan a batch of scenarios' global courses.
+
+    planner="device": ONE jitted vmapped wavefront search over the whole
+    batch (``lattice.plan_courses_device``, grid auto-sized from the batch
+    geometry) — the production path for fleet-scale planning. Any scenario
+    the beam search misses (found=False; rare) falls back to the exact host
+    search, so the result is always complete. planner="native"/"host":
+    per-scenario host search (C++ core / Python oracle).
+
+    Returns (list of (N_i, 3) trajectories, stats dict).
+    """
+    if planner == "device":
+        from .lattice import plan_courses_device
+
+        res = plan_courses_device(
+            scenarios, geom, weights=weights, cfg=wavefront_cfg
+        )
+        found = np.asarray(res.found)
+        n_points = np.asarray(res.n_points)
+        traj_all = np.asarray(res.trajectory)
+        out = []
+        n_fallback = 0
+        for i, sc in enumerate(scenarios):
+            if found[i]:
+                out.append(traj_all[i, : int(n_points[i])].astype(np.float64))
+            else:
+                n_fallback += 1
+                out.append(plan_course(sc, geom, weights))
+        stats = {
+            "planner": "device",
+            "n_device": len(scenarios) - n_fallback,
+            "n_host_fallback": n_fallback,
+            "device_costs": np.asarray(res.cost),
+            "oob": np.asarray(res.oob),
+        }
+        return out, stats
+    out = [plan_course(sc, geom, weights, use_native=(planner == "native"))
+           for sc in scenarios]
+    return out, {"planner": planner, "n_device": 0, "n_host_fallback": 0}
+
+
 def sample_intersection_fleet(
     n_scenarios: int,
     rng: np.random.Generator,
@@ -248,26 +301,41 @@ def sample_intersection_fleet(
     n_steps: int = 256,
     starts=(1, 2, 3, 4),
     turns=(1, 2, 3),
+    planner: str = "native",
 ):
     """Monte-Carlo fleet over (start, turn, arrival schedule) — BASELINE
-    config 5. Global plans are cached per (start, turn); the per-scenario
-    variation is the scripted traffic's offsets/speeds/turning flags.
+    config 5. Global plans are computed once per unique (start, turn) pair
+    (the junction geometry is shared): with planner="device" the unique
+    plans are batch-planned ON DEVICE in one vmapped wavefront search
+    (host-search fallback per miss); "native"/"host" plan per pair on the
+    C++ core / Python oracle.
 
     Returns (geom, worlds, states, metadata) — stack with
     ``parallel.stack_worlds`` / ``stack_states`` to run as one batch.
     """
     cfg = cfg or EngineConfig()
     geom = bicycle_geometry()
-    course_cache: Dict[Tuple[int, int], np.ndarray] = {}
-    worlds, states, meta = [], [], []
-    for _ in range(n_scenarios):
-        s = int(rng.choice(starts))
-        t = int(rng.choice(turns))
-        key = (s, t)
-        if key not in course_cache:
-            course_cache[key] = plan_course(
-                intersection(turn_indicator=t, start_pos=s), geom
+    draws = [
+        (int(rng.choice(starts)), int(rng.choice(turns)))
+        for _ in range(n_scenarios)
+    ]
+    keys = sorted(set(draws))
+    if planner == "device":
+        courses, _ = plan_courses_batch(
+            [intersection(turn_indicator=t, start_pos=s) for (s, t) in keys],
+            geom,
+        )
+        course_cache: Dict[Tuple[int, int], np.ndarray] = dict(zip(keys, courses))
+    else:
+        course_cache = {
+            (s, t): plan_course(
+                intersection(turn_indicator=t, start_pos=s), geom,
+                use_native=(planner == "native"),
             )
+            for (s, t) in keys
+        }
+    worlds, states, meta = [], [], []
+    for (s, t) in draws:
         rows = []
         for direction in (1, -1):
             if rng.random() < 0.8:
@@ -280,7 +348,7 @@ def sample_intersection_fleet(
                     )
                 )
         params, ag = stack_agents(rows, n_slots=cfg.n_agents)
-        world = make_world(course_cache[key], params, cfg)
+        world = make_world(course_cache[(s, t)], params, cfg)
         worlds.append(world)
         states.append(init_engine_state(world, ag, cfg, n_steps))
         meta.append({"start_pos": s, "turn_indicator": t, "n_agents": len(rows)})

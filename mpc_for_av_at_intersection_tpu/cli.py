@@ -131,7 +131,7 @@ def _cmd_fleet(args):
     rng = np.random.default_rng(args.seed)
     t0 = time.perf_counter()
     geom, worlds, states, meta = api.sample_intersection_fleet(
-        args.n, rng, n_steps=args.steps
+        args.n, rng, n_steps=args.steps, planner=args.planner
     )
     t_plan = time.perf_counter() - t0
     wb, sb = stack_worlds(worlds), stack_states(states)
@@ -152,6 +152,7 @@ def _cmd_fleet(args):
         "n_done": int(summary["n_done"]),
         "unsolved_ticks": int(summary["n_unsolved_ticks"]),
         "mean_ticks_to_goal": float(summary["ticks_to_goal_sum"]) / args.n,
+        "planner": args.planner,
         "plan_seconds": round(t_plan, 2),
         "run_seconds": round(t_run, 2),
         "scenario_ticks_per_second": round(args.n * args.steps / t_run, 1),
@@ -211,6 +212,10 @@ def main(argv=None):
     f.add_argument("--steps", type=int, default=200)
     f.add_argument("--seed", type=int, default=0)
     f.add_argument("--shard", action="store_true", help="shard over devices")
+    f.add_argument("--planner", default="native",
+                   choices=["native", "device", "host"],
+                   help="global planner: host C++ core, batched device "
+                        "wavefront, or Python host search")
     f.set_defaults(fn=_cmd_fleet)
 
     s = sub.add_parser("sweep", help="MPC weight sensitivity sweep")

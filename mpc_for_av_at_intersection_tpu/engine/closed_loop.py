@@ -328,8 +328,11 @@ def engine_tick(
         preds, world.agent_params.active, cfg, geom,
     )
 
-    # 8. scripted agents step (they keep moving even after the ego parks,
-    #    but freezing on done keeps finished scenarios cheap + deterministic)
+    # 8. scripted agents step. Documented divergence (QUIRKS #21): the
+    #    reference keeps stepping obstacles after the ego parks
+    #    (mpc_intersection.py:154-156); here finished scenarios freeze ALL
+    #    state so a fixed-step fleet scan is deterministic and cheap.
+    #    Pre-goal agent motion is bit-identical.
     agents = agents_step(world.agent_params, st.agents, dt, geom.wheelbase)
     agents = jax.tree.map(
         lambda a, b: jnp.where(done_now, b, a), agents, st.agents

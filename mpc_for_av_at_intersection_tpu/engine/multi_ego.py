@@ -251,9 +251,21 @@ def run_multi_ego_episode(
     cfg: EngineConfig,
     geom: VehicleGeometry,
     n_steps: int,
-    batched: bool = False,
-    use_pallas: bool = True,
+    batched: bool | None = None,
+    use_pallas: bool | None = None,
 ):
+    """Run a multi-ego episode. ``batched=None`` (default) routes fleets of
+    E >= 8 egos through the natively batched solver (the fused Pallas ADMM
+    kernel on TPU) and small fleets through the vmapped per-ego tick; pass
+    an explicit bool to force either path. ``use_pallas=None`` enables the
+    Pallas kernel iff running on TPU."""
+    if batched is None:
+        batched = int(world.courses.shape[0]) >= 8
+    if use_pallas is None:
+        from ..ops.admm_pallas import pallas_supported
+
+        use_pallas = pallas_supported()
+
     def step(st, _):
         if batched:
             return multi_ego_tick_batched(

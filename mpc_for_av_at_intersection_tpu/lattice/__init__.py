@@ -4,6 +4,7 @@ from .search import SearchWeights, MotionPrimitiveSearch
 from .wavefront import (
     WavefrontConfig,
     WavefrontResult,
+    plan_courses_device,
     prepare_primitives,
     wavefront_search,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "MotionPrimitiveSearch",
     "WavefrontConfig",
     "WavefrontResult",
+    "plan_courses_device",
     "prepare_primitives",
     "wavefront_search",
 ]

@@ -30,6 +30,7 @@ reference computes them lazily iff weight != 0, multi_lane.py:169-175).
 from __future__ import annotations
 
 import dataclasses
+import functools as _functools
 from typing import NamedTuple
 
 import jax
@@ -59,6 +60,62 @@ class WavefrontConfig:
     @property
     def n_cells(self) -> int:
         return self.nx * self.ny * self.ntheta
+
+    @staticmethod
+    def for_scenarios(
+        scenarios,
+        cell: float = 1.0,
+        ntheta: int = 32,
+        frontier: int = 256,
+        pad: float = 8.0,
+        prim_len: float = 4.98,
+        iters: int | None = None,
+        max_edges: int | None = None,
+        **kw,
+    ) -> "WavefrontConfig":
+        """Size the grid from the scenario geometry instead of the
+        intersection-shaped defaults (which cannot fit e.g. the 100 m
+        arterial): the (x, y) extent is the union bounding box of all
+        obstacles (boxes by corners, circles by center+-radius) plus every
+        start/goal pose, padded by ``pad`` metres; the edge/iteration
+        budgets scale with the box diameter in primitive lengths. Accepts
+        one scenario or a batch (the grid must be shared under vmap)."""
+        import math as _m
+
+        if not isinstance(scenarios, (list, tuple)):
+            scenarios = [scenarios]
+        lo = np.array([np.inf, np.inf])
+        hi = np.array([-np.inf, -np.inf])
+
+        def take(x, y):
+            lo[0] = min(lo[0], x); lo[1] = min(lo[1], y)
+            hi[0] = max(hi[0], x); hi[1] = max(hi[1], y)
+
+        for sc in scenarios:
+            take(sc.start[0], sc.start[1])
+            take(sc.goal_point[0], sc.goal_point[1])
+            x1, y1, x2, y2 = sc.goal_area.corners
+            take(x1, y1); take(x2, y2)
+            for o in sc.obstacles:
+                if hasattr(o, "corners"):
+                    x1, y1, x2, y2 = o.corners
+                    take(x1, y1); take(x2, y2)
+                else:
+                    (cx, cy), r = o.center, o.radius
+                    take(cx - r, cy - r); take(cx + r, cy + r)
+
+        x0, y0 = float(lo[0] - pad), float(lo[1] - pad)
+        nx = int(_m.ceil((hi[0] + pad - x0) / cell))
+        ny = int(_m.ceil((hi[1] + pad - y0) / cell))
+        diam = _m.hypot(nx * cell, ny * cell)
+        if max_edges is None:
+            max_edges = max(24, int(_m.ceil(1.2 * diam / prim_len)) + 4)
+        if iters is None:
+            iters = max_edges + 12
+        return WavefrontConfig(
+            x0=x0, y0=y0, nx=nx, ny=ny, ntheta=ntheta, cell=cell,
+            frontier=frontier, iters=iters, max_edges=max_edges, **kw,
+        )
 
 
 class PrimitiveDeviceData(NamedTuple):
@@ -103,6 +160,10 @@ class WavefrontResult(NamedTuple):
     trajectory: jnp.ndarray  # (max_edges*(K-1)+1... padded, 3)
     n_points: jnp.ndarray    # () int32 valid length
     n_edges: jnp.ndarray     # () int32
+    oob: jnp.ndarray         # () int32 — collision-free expansions pruned
+    #                          for falling OUTSIDE the grid; a nonzero value
+    #                          with found=False is the out-of-grid telltale
+    #                          (enlarge WavefrontConfig / use for_scenarios)
 
 
 def _cell_index(pose, cfg: WavefrontConfig):
@@ -214,7 +275,7 @@ def wavefront_search(
            jnp.asarray(-1, jnp.int32), jnp.asarray(-1, jnp.int32))
 
     def body(carry, _):
-        g, pose, parent, prim, closed, bg = carry
+        g, pose, parent, prim, closed, bg, oob = carry
 
         # --- select ~top-F open cells by f = g + h ---
         # approx_min_k: TPU-native partial reduction (exact top_k lowers to
@@ -272,7 +333,18 @@ def wavefront_search(
                 axis=(2, 3),
             )                                             # (F, P)
 
-        valid = active[:, None] & ~collide
+        # out-of-grid telltale: a collision-free expansion landing outside
+        # the (x, y) grid is pruned but COUNTED, so a failed search can be
+        # distinguished from a too-small grid
+        inb = (
+            (cand[..., 0] >= cfg.x0)
+            & (cand[..., 0] < cfg.x0 + cfg.nx * cfg.cell)
+            & (cand[..., 1] >= cfg.y0)
+            & (cand[..., 1] < cfg.y0 + cfg.ny * cfg.cell)
+        )
+        free = active[:, None] & ~collide
+        oob = oob + jnp.sum(free & ~inb).astype(jnp.int32)
+        valid = free & inb
 
         # --- goal tracking ---
         goal_ok = valid & in_goal(cand)
@@ -310,10 +382,10 @@ def wavefront_search(
         parent = jnp.where(touched, idxs[safe // P], parent)
         prim = jnp.where(touched, (safe % P).astype(jnp.int32), prim)
 
-        return (g, pose, parent, prim, closed, bg), None
+        return (g, pose, parent, prim, closed, bg, oob), None
 
-    carry0 = (g0, pose0, parent0, prim0, closed0, bg0)
-    (g, pose, parent, prim, closed, bg), _ = jax.lax.scan(
+    carry0 = (g0, pose0, parent0, prim0, closed0, bg0, jnp.asarray(0, jnp.int32))
+    (g, pose, parent, prim, closed, bg, oob), _ = jax.lax.scan(
         body, carry0, None, length=cfg.iters
     )
     bg_g, bg_pose, bg_parent, bg_prim = bg
@@ -373,4 +445,70 @@ def wavefront_search(
     # first K-1 points (edge endpoints are the next edge's first point)
     n_points = n_edges * Km1
     cost = jnp.where(found, bg_g, jnp.inf)
-    return WavefrontResult(found, cost, traj, n_points, n_edges)
+    return WavefrontResult(found, cost, traj, n_points, n_edges, oob)
+
+
+def plan_courses_device(
+    scenarios,
+    geom: VehicleGeometry,
+    weights: SearchWeights | None = None,
+    cfg: WavefrontConfig | None = None,
+    collision: str = "auto",
+    margin: float | None = None,
+    dtype=jnp.float32,
+):
+    """Batch-plan many scenarios' global courses ON DEVICE — the production
+    planning path (SURVEY section 7.2.3 "run thousands of scenarios'
+    searches as one batched kernel"). The host C++ search stays the exact
+    oracle / fallback.
+
+    Compiles every scenario to padded arrays, sizes one shared grid from
+    the batch geometry (``WavefrontConfig.for_scenarios``), and runs ONE
+    jitted vmapped ``wavefront_search``. Returns the batched
+    ``WavefrontResult`` (host code trims ``trajectory[:n_points]``).
+    """
+    from ..worlds.scenario import compile_scenario, stack_scenario_arrays
+
+    if not isinstance(scenarios, (list, tuple)):
+        scenarios = [scenarios]
+    if margin is None:
+        margin = geom.radius
+    w = weights if weights is not None else SearchWeights.modified()
+    if cfg is None:
+        cfg = WavefrontConfig.for_scenarios(scenarios)
+
+    from .primitives import primitive_table
+
+    table = primitive_table(geom)
+    prims = prepare_primitives(table, geom, dtype)
+    arrs = stack_scenario_arrays(
+        [compile_scenario(s, margin=margin) for s in scenarios]
+    )
+
+    run = _planner_fn(cfg, w, collision)
+    return run(
+        prims,
+        jnp.asarray(arrs.halfplanes, dtype),
+        jnp.asarray(arrs.obstacle_valid),
+        jnp.asarray(arrs.start, dtype),
+        jnp.asarray(arrs.goal_point, dtype),
+        jnp.asarray(arrs.goal_area_corners, dtype),
+        jnp.asarray(arrs.goal_theta_tol, dtype),
+    )
+
+
+@_functools.lru_cache(maxsize=32)
+def _planner_fn(cfg: WavefrontConfig, w: SearchWeights, collision: str):
+    """Memoized jitted batch planner: repeated ``plan_courses_device`` calls
+    with the same (grid, weights, collision) hit one compiled executable
+    instead of re-tracing (configs are frozen dataclasses, hashable)."""
+
+    @jax.jit
+    def run(prims, hp, ov, st, gp, gb, tt):
+        return jax.vmap(
+            lambda h, o, s, g, b, t: wavefront_search(
+                h, o, s, g, b, t, prims, cfg, weights=w, collision=collision
+            )
+        )(hp, ov, st, gp, gb, tt)
+
+    return run

@@ -33,14 +33,17 @@ def mpc_step_batched(
     use_pallas: bool = True,
     interpret: bool = False,
 ) -> MPCStepOut:
-    if cfg.jerk:
-        raise NotImplementedError("batched jerk path not implemented; vmap mpc_step")
     T = cfg.T
+    nx = cfg.nx            # 5 for the jerk variant (extra accel state)
     B = states.shape[0]
     dtype = courses.dtype
     limits = SimLimits(
         max_steer=cfg.max_steer, max_speed=cfg.max_speed, min_speed=cfg.min_speed
     )
+    if cfg.jerk:
+        from .jerk import condense_jerk as _condense
+    else:
+        _condense = condense
 
     oa = jnp.where(cs.have_prev[:, None], cs.oa, jnp.zeros_like(cs.oa))
     od = jnp.where(cs.have_prev[:, None], cs.od, jnp.zeros_like(cs.od))
@@ -65,10 +68,10 @@ def mpc_step_batched(
         )(states, controls)
         dref = jnp.zeros((B, T), dtype)
         A, B_, C = jax.vmap(
-            lambda v, p, d: linearize_bicycle(v, p, d, cfg.dt, wheelbase)
+            lambda v, p, d: linearize_bicycle(v, p, d, cfg.dt, wheelbase, nx=nx)
         )(xbar[:, :-1, 2], xbar[:, :-1, 3], dref)
 
-        cqp = jax.vmap(lambda a, b, c, s, r, e: condense(a, b, c, s, r, e, cfg))(
+        cqp = jax.vmap(lambda a, b, c, s, r, e: _condense(a, b, c, s, r, e, cfg))(
             A, B_, C, states, xref, reaches_end
         )
         sol = solve_box_qp_batched(
@@ -77,10 +80,12 @@ def mpc_step_batched(
             rho0=cfg.admm_rho, sigma=cfg.admm_sigma, alpha=cfg.admm_alpha,
             polish=cfg.polish, use_pallas=use_pallas, interpret=interpret,
         )
-        u = sol.x.reshape(B, T, 2)
+        # jerk variant: decision vector is [u_flat (2T); a0] — controls are
+        # the first 2T entries either way
+        u = sol.x[:, : 2 * T].reshape(B, T, 2)
         oa, od = u[:, :, 0], u[:, :, 1]
         Ff, gf = cqp.F, cqp.g
-        X = (jnp.einsum("bij,bj->bi", Ff, sol.x) + gf).reshape(B, T, 4)
+        X = (jnp.einsum("bij,bj->bi", Ff, sol.x) + gf).reshape(B, T, nx)
         ov = jnp.concatenate([states[:, 2:3], X[:, :, 2]], axis=1)
         have_ov = jnp.ones((B,), bool)
 
@@ -101,6 +106,6 @@ def mpc_step_batched(
         target_idx=target_idx,
         last_steer=steer,
     )
-    X = (jnp.einsum("bij,bj->bi", Ff, sol.x) + gf).reshape(B, T, 4)
+    X = (jnp.einsum("bij,bj->bi", Ff, sol.x) + gf).reshape(B, T, nx)
     plan_xy = jnp.concatenate([states[:, None, :2], X[:, :, :2]], axis=1)
     return MPCStepOut(accel, steer, new_cs, solved, plan_xy, xref, target_idx)

@@ -3,6 +3,7 @@ from .plotting import (
     draw_car,
     draw_point_arrow,
     draw_search_points,
+    overlay_telemetry,
     plot_telemetry,
     plot_trajectories,
     animate_episode,
@@ -13,6 +14,7 @@ __all__ = [
     "draw_car",
     "draw_point_arrow",
     "draw_search_points",
+    "overlay_telemetry",
     "plot_telemetry",
     "plot_trajectories",
     "animate_episode",

@@ -166,6 +166,59 @@ def plot_trajectories(tel, ax, dt: float = 0.2, agent_xy: Optional[np.ndarray] =
     return ax
 
 
+def overlay_telemetry(records, dt: float = 0.2, trajectory=None, scenario=None):
+    """Sweep-comparison figure family (reference
+    ``mpc_sensitivity_analysis_comulative.py:268-438``: per swept parameter,
+    overlaid trajectories + speed + acceleration + deviation across sweep
+    values).
+
+    ``records``: iterable of ``sweep.MPCSweepRecord`` (or any objects with
+    ``.param``, ``.value``, ``.ticks_to_goal``, ``.telemetry``). Returns
+    ``(fig, axes)`` with axes[0] the xy trajectory overlay and axes[1:4]
+    the speed/accel/deviation traces, one labeled line per sweep value —
+    the exact figure family behind ``main/results/mpc_sensitivity/*.pdf``.
+    """
+    import matplotlib.pyplot as plt
+
+    records = list(records)
+    fig, axes = plt.subplots(1, 4, figsize=(22, 5))
+    line_styles = ["--", "-.", ":"]
+    colors = ["b", "k", "r", "c", "m", "y", "g"]
+
+    if scenario is not None:
+        draw_scenario(scenario, axes[0])
+    if trajectory is not None:
+        traj = np.asarray(trajectory)
+        axes[0].plot(traj[:, 0], traj[:, 1], color="0.8", lw=4,
+                     label="reference path", zorder=0)
+
+    for idx, rec in enumerate(records):
+        tel = rec.telemetry
+        k = int(rec.ticks_to_goal) or len(np.asarray(tel.v))
+        label = f"{rec.param}={rec.value:g}"
+        ls = line_styles[idx % len(line_styles)]
+        color = colors[idx % len(colors)]
+        t = np.arange(k) * dt
+        axes[0].plot(np.asarray(tel.x)[:k], np.asarray(tel.y)[:k], ls,
+                     color=color, label=label)
+        axes[1].plot(t, np.asarray(tel.v)[:k] * 3.6, ls, color=color, label=label)
+        axes[2].plot(t, np.asarray(tel.accel)[:k], ls, color=color, label=label)
+        axes[3].plot(t, np.asarray(tel.xref_dev)[:k], ls, color=color, label=label)
+
+    axes[0].set_aspect("equal")
+    axes[0].set_xlabel("X [m]")
+    axes[0].set_ylabel("Y [m]")
+    axes[0].set_title("trajectories")
+    for ax, name in zip(axes[1:], ("speed [km/h]", "accel [m/s$^2$]", "deviation [m]")):
+        ax.set_xlabel("time [s]")
+        ax.set_ylabel(name)
+        ax.grid(color="lightgray", alpha=0.5)
+    for ax in axes:
+        ax.legend(fontsize=8)
+    fig.tight_layout()
+    return fig, axes
+
+
 def animate_episode(
     scenario: Scenario, geom: VehicleGeometry, tel, dt: float = 0.2,
     agent_states: Optional[np.ndarray] = None, interval_ms: int = 50,

@@ -33,12 +33,26 @@ def _check_finished(setup, final, tel, n_steps=N_STEPS, goal_tol=1.6):
     assert np.all(np.abs(tel.steer[:k]) <= np.radians(45) + 1e-4)
 
 
-def test_roundabout_driver():
-    # NOTE: the upstream driver's U-turn config has no feasible lattice path
-    # (the reference search also fails on it) — use the left turn.
-    setup = api.build_roundabout(start_pos=1, turn_indicator=1)
+def test_roundabout_driver_reference_config():
+    """The reference driver's exact setup: roundabout_big geometry,
+    start_pos=1, turn_indicator=4 (U-turn), two scripted roundabout
+    vehicles (mpc_roundabout.py:11,36-49). The plan cost matches the
+    reference search bit-for-bit (109.80876...; see QUIRKS #18)."""
+    setup = api.build_roundabout()  # defaults == reference driver config
+    assert len(setup.trajectory) == 960  # reference search: 960 pts, U-turn
     final, tel = _run(setup, 320)
-    run = None
+    assert bool(final.done), f"end pos {np.asarray(final.ego)[:2]}"
+    k = int(final.ticks_to_goal)
+    goal = setup.trajectory[-1, :2]
+    assert np.hypot(tel.x[k - 1] - goal[0], tel.y[k - 1] - goal[1]) < 1.6
+    assert tel.solved.all()
+
+
+def test_roundabout_driver_small_left_turn():
+    # the small-geometry variant (envs/roundabout.py); U-turn is infeasible
+    # there (QUIRKS #18) — use the left turn
+    setup = api.build_roundabout(start_pos=1, turn_indicator=1, big=False)
+    final, tel = _run(setup, 320)
     assert bool(final.done), f"end pos {np.asarray(final.ego)[:2]}"
     k = int(final.ticks_to_goal)
     goal = setup.trajectory[-1, :2]

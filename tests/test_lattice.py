@@ -20,13 +20,14 @@ from mpc_for_av_at_intersection_tpu.worlds import intersection
 
 HAVE_REF = os.path.isdir("/root/reference/main/lib")
 REF_PKL = "/root/reference/main/data/motion_primitives_bicycle_model"
+REF_PKL_PRIUS = "/root/reference/main/data/motion_primitives_prius"
 
 
 class _MPStub:
     pass
 
 
-def _load_ref_pickles():
+def _load_ref_pickles(path=REF_PKL):
     class U(pickle.Unpickler):
         def find_class(self, m, n):
             return _MPStub if n == "MotionPrimitive" else super().find_class(m, n)
@@ -34,7 +35,7 @@ def _load_ref_pickles():
     out = {}
     import pathlib
 
-    for f in pathlib.Path(REF_PKL).glob("*.pkl"):
+    for f in pathlib.Path(path).glob("*.pkl"):
         with open(f, "rb") as fh:
             mp = U(fh).load()
         out[mp.name] = mp
@@ -49,6 +50,59 @@ def test_primitive_table_matches_reference_pickles():
     for i, name in enumerate(table.names):
         np.testing.assert_allclose(table.points[i], ref[name].points, atol=1e-12)
         assert table.lengths[i] == pytest.approx(ref[name].total_length, abs=1e-12)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference pickles unavailable")
+def test_prius_pickles_quantified_divergence():
+    """QUIRKS #19: the committed PyBullet Prius pickles are internally
+    inconsistent and partly degenerate, so our kinematic Prius table is a
+    conscious replacement, not an approximation of them. This test pins the
+    *measured* facts that justify that decision:
+
+    (a) every pickle's ``total_length`` was computed BEFORE the
+        ``points[:, :2] /= 0.3`` scale-up
+        (create_motion_primitives_prius.py:124-127), so it is exactly 0.3x
+        the points' true arc length;
+    (b) the four high-steer episodes stalled in PyBullet: left4/right4
+        travel < 0.25 m (nominal ~5 m at 8.3 m/s for 0.6 s of recording)
+        and END BEHIND the start pose; left3/right3 travel < 3.7 m;
+    (c) therefore the divergence from ANY constant-steer kinematic arc is
+        meters — the straight pickle alone spans 8.4 m vs the kinematic
+        4.98 m (the pickles record a longer window than the bicycle set).
+    """
+    from mpc_for_av_at_intersection_tpu.models import prius_geometry
+
+    ref = _load_ref_pickles(REF_PKL_PRIUS)
+    assert set(ref.keys()) == set(primitive_table(prius_geometry()).names)
+
+    for name, mp in ref.items():
+        pts = np.asarray(mp.points, np.float64)
+        arc = float(np.linalg.norm(np.diff(pts[:, :2], axis=0), axis=1).sum())
+        # (a) stale length field: computed pre-scale-up, so ~0.3x the
+        # points' arc (exact 0.3 for the straight arc; the later
+        # object-space rear-wheel shift perturbs curved arcs slightly, and
+        # heavily for the stalled wiggling ones). Never self-consistent.
+        assert mp.total_length < 0.6 * arc, name
+        if name in ("straight", "left1", "left2", "right1", "right2"):
+            assert mp.total_length == pytest.approx(0.3 * arc, rel=5e-3), name
+        # all pickles start at the rear-wheel-shifted origin x=-2.0
+        assert pts[0, 0] == pytest.approx(-2.0, abs=1e-9), name
+
+    # (b) stalled high-steer episodes
+    def arc_of(n):
+        p = np.asarray(ref[n].points, np.float64)
+        return float(np.linalg.norm(np.diff(p[:, :2], axis=0), axis=1).sum())
+
+    assert arc_of("left4") < 0.25 and arc_of("right4") < 0.25
+    assert np.asarray(ref["left4"].points)[-1, 0] < -1.9   # ends behind start
+    assert np.asarray(ref["right4"].points)[-1, 0] < -1.9
+    assert arc_of("left3") < 3.7 and arc_of("right3") < 3.3
+
+    # (c) the healthy straight episode still spans ~8.4 m vs kinematic 4.98
+    table = primitive_table(prius_geometry())
+    i = table.names.index("straight")
+    assert arc_of("straight") == pytest.approx(8.44, abs=0.05)
+    assert table.lengths[i] == pytest.approx(4.98, abs=0.01)
 
 
 # --- generic A* contract (the reference test strategy, SURVEY section 4) ---

@@ -143,35 +143,44 @@ def _device_solve(A, B, C, x0, xref, reaches_end, cfg, dtype):
     return u, X, bool(sol.polished)
 
 
+# Horizons: the reference ships T=13 (main/config/mpc_config.json:4);
+# BASELINE.md sets the parity budget at the N=20 bicycle horizon — both are
+# first-class here.
+HORIZONS = [13, 20]
+
+
+@pytest.mark.parametrize("T", HORIZONS)
 @pytest.mark.parametrize("seed,near_end,with_prev", [
     (0, False, True), (1, False, True), (2, False, False),
     (3, True, True), (4, True, False), (5, False, True),
     (6, False, True), (7, True, True),
 ])
-def test_condensed_matches_sparse_oracle_f64(seed, near_end, with_prev):
-    cfg = MPCConfig.canonical()
+def test_condensed_matches_sparse_oracle_f64(seed, near_end, with_prev, T):
+    cfg = MPCConfig(T=T)
     rng = np.random.default_rng(100 + seed)
     inst = _make_instance(rng, cfg, near_end=near_end, with_prev=with_prev)
     u_ref, X_ref = _oracle_solve(*inst, cfg)
     u_dev, X_dev, polished = _device_solve(*inst, cfg, jnp.float64)
     err = np.abs(u_dev - u_ref).max()
-    assert err < 1e-5, f"f64 control err {err} (polished={polished})"
+    assert err < 1e-5, f"f64 T={T} control err {err} (polished={polished})"
     np.testing.assert_allclose(X_dev, X_ref[1:], atol=1e-4)
 
 
+@pytest.mark.parametrize("T", HORIZONS)
 @pytest.mark.parametrize("seed,near_end,with_prev", [
     (0, False, True), (1, False, True), (2, False, False),
     (3, True, True), (4, True, False), (5, False, True),
 ])
-def test_condensed_matches_sparse_oracle_f32(seed, near_end, with_prev):
-    """The shipping fp32 path must stay within the 1e-3 parity budget."""
-    cfg = MPCConfig.canonical()
+def test_condensed_matches_sparse_oracle_f32(seed, near_end, with_prev, T):
+    """The shipping fp32 path must stay within the 1e-3 parity budget
+    (BASELINE.md: control error <= 1e-3 vs reference at N=20)."""
+    cfg = MPCConfig(T=T)
     rng = np.random.default_rng(100 + seed)
     inst = _make_instance(rng, cfg, near_end=near_end, with_prev=with_prev)
     u_ref, _ = _oracle_solve(*inst, cfg)
     u_dev, _, _ = _device_solve(*inst, cfg, jnp.float32)
     err = np.abs(u_dev - u_ref).max()
-    assert err < 1e-3, f"f32 control err {err}"
+    assert err < 1e-3, f"f32 T={T} control err {err}"
 
 
 def test_speed_ref_variant_against_oracle():

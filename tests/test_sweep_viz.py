@@ -84,3 +84,32 @@ def test_plotting_smoke(tmp_path):
     anim._draw_frame(3)  # render a frame without writing a video
     plt.close("all")
     assert (tmp_path / "scenario.png").stat().st_size > 1000
+
+
+def test_overlay_telemetry_sweep_figures(tmp_path):
+    """The reference's cumulative-sensitivity comparison figure family
+    (mpc_sensitivity_analysis_comulative.py:268-438: overlaid trajectories
+    + speed/accel/deviation across sweep values) via overlay_telemetry."""
+    import matplotlib.pyplot as plt
+
+    from mpc_for_av_at_intersection_tpu.utils import overlay_telemetry
+    from mpc_for_av_at_intersection_tpu.worlds import intersection
+
+    recs = sweep.mpc_weight_sweep(
+        lambda cfg: api.build_intersection(other_vehicles=False, cfg=cfg),
+        "w_perp", [1.0, 20.0], n_steps=160,
+    )
+    setup = api.build_intersection(other_vehicles=False, n_steps=8)
+    fig, axes = overlay_telemetry(
+        recs, trajectory=setup.trajectory,
+        scenario=intersection(turn_indicator=1, start_pos=4),
+    )
+    assert len(axes) == 4
+    # one labeled line per sweep value on every panel
+    for ax in axes[1:]:
+        labels = [ln.get_label() for ln in ax.get_lines()]
+        assert "w_perp=1" in labels and "w_perp=20" in labels
+    out = tmp_path / "overlay.png"
+    fig.savefig(out)
+    plt.close("all")
+    assert out.stat().st_size > 5000

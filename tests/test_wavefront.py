@@ -154,3 +154,89 @@ def test_wavefront_weighted_variants_match_host(name, w, sc):
     assert 0.85 * cost_host - 1e-6 <= cost_dev <= 1.10 * cost_host + 1e-6, (
         f"{name}: device {cost_dev:.2f} vs host {cost_host:.2f}"
     )
+
+
+def test_for_scenarios_grid_fits_arterial():
+    """WavefrontConfig.for_scenarios sizes the grid from the scenario
+    geometry: the 100 m arterial cannot fit the intersection-shaped default
+    grid, but fits (and plans) on an auto-sized one."""
+    from mpc_for_av_at_intersection_tpu.lattice import plan_courses_device
+    from mpc_for_av_at_intersection_tpu.worlds import arterial_multi_lanes
+
+    sc = arterial_multi_lanes(num_lanes=2, goal_lane=1)
+    geom = bicycle_geometry()
+    cfg = WavefrontConfig.for_scenarios(sc)
+    # the road spans ~100 m in y; the auto grid must cover it
+    assert cfg.ny * cfg.cell >= 100.0
+    res = plan_courses_device(sc, geom, cfg=cfg)
+    assert bool(res.found[0]), "arterial course not found on auto-sized grid"
+
+    host = MotionPrimitiveSearch(
+        sc, geom, primitive_table(geom), margin=geom.radius,
+        weights=SearchWeights.modified(),
+    )
+    cost_host, _, _ = host.run()
+    assert 0.85 * cost_host <= float(res.cost[0]) <= 1.10 * cost_host
+
+
+def test_out_of_grid_telltale():
+    """A too-small grid must be distinguishable from a genuinely infeasible
+    search: collision-free expansions pruned for leaving the grid are
+    counted in ``oob``."""
+    from mpc_for_av_at_intersection_tpu.lattice import plan_courses_device
+    from mpc_for_av_at_intersection_tpu.worlds import arterial_multi_lanes
+
+    sc = arterial_multi_lanes(num_lanes=2, goal_lane=1)
+    geom = bicycle_geometry()
+    # deliberately truncate the grid far short of the arterial goal
+    small = WavefrontConfig(
+        x0=-17.0, y0=-58.0, nx=34, ny=40, ntheta=32, iters=20, max_edges=24
+    )
+    res = plan_courses_device(sc, geom, cfg=small)
+    assert not bool(res.found[0])
+    assert int(res.oob[0]) > 0, "expected the out-of-grid telltale to fire"
+
+
+def test_plan_courses_batch_device_cost_band():
+    """Production fleet planning: >= 95% of device plans land within the
+    cost band of the exact host search (VERDICT round-1 item 1)."""
+    from mpc_for_av_at_intersection_tpu.api import plan_courses_batch
+
+    geom = bicycle_geometry()
+    table = primitive_table(geom)
+    trajs, stats = plan_courses_batch(SCENARIOS, geom, planner="device")
+    assert stats["n_host_fallback"] <= len(SCENARIOS) // 20  # >=95% on device
+
+    in_band = 0
+    for i, sc in enumerate(SCENARIOS):
+        host = MotionPrimitiveSearch(
+            sc, geom, table, margin=geom.radius, weights=SearchWeights.modified()
+        )
+        cost_host, _, _ = host.run()
+        cost_dev = float(stats["device_costs"][i])
+        if 0.85 * cost_host - 1e-6 <= cost_dev <= 1.10 * cost_host + 1e-6:
+            in_band += 1
+        # every returned trajectory is usable either way
+        assert len(trajs[i]) >= 100 and trajs[i].shape[1] == 3
+    assert in_band >= int(np.ceil(0.95 * len(SCENARIOS)))
+
+
+def test_sample_fleet_device_planner():
+    """sample_intersection_fleet(planner="device") builds a runnable fleet."""
+    from mpc_for_av_at_intersection_tpu import api
+    from mpc_for_av_at_intersection_tpu.engine import EngineConfig
+    from mpc_for_av_at_intersection_tpu.parallel import (
+        run_batch_episodes,
+        stack_states,
+        stack_worlds,
+    )
+
+    rng = np.random.default_rng(1)
+    geom, worlds, states, meta = api.sample_intersection_fleet(
+        8, rng, n_steps=160, planner="device"
+    )
+    assert len({(m["start_pos"], m["turn_indicator"]) for m in meta}) > 1
+    wb, sb = stack_worlds(worlds), stack_states(states)
+    final, tel, summary = run_batch_episodes(wb, sb, EngineConfig(), geom, 160)
+    assert int(summary["n_unsolved_ticks"]) == 0
+    assert int(summary["n_done"]) >= 6, f"only {int(summary['n_done'])}/8 done"
