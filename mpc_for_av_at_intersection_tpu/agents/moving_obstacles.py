@@ -102,13 +102,14 @@ def _arterial_steer(p: AgentParams, pose):
 
 
 def _control_one(p_row: AgentParams, pose, counter, dt):
+    # module-level branch functions (not per-call lambdas): stable function
+    # identities let JAX's tracing caches hit across the many engine jits
+    # that trace this in one process
     steer, pose = jax.lax.switch(
         p_row.policy,
-        [
-            lambda: _t_intersection_steer(p_row, pose),
-            lambda: _roundabout_steer(p_row, pose),
-            lambda: _arterial_steer(p_row, pose),
-        ],
+        (_t_intersection_steer, _roundabout_steer, _arterial_steer),
+        p_row,
+        pose,
     )
     delayed = (p_row.offset > 0) & (counter.astype(pose.dtype) * dt <= p_row.offset)
     v = jnp.where(delayed, 0.0, p_row.speed)
