@@ -18,7 +18,7 @@ import numpy as np
 HORIZON = 20
 BATCH = 4096
 N_COURSE = 512
-STEADY_ITERS = 10
+STEADY_ITERS = 20
 
 
 def main():
@@ -31,7 +31,7 @@ def main():
     cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
     cache_dir.mkdir(exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     import jax.numpy as jnp
 
@@ -48,8 +48,10 @@ def main():
     dtype = jnp.float32
 
     # realistic per-scenario tracking instances: smooth random courses,
-    # ego states near the course with varying speed
-    rng = np.random.default_rng(0)
+    # ego states near the course with varying speed. Entropy-seeded so no
+    # layer (JAX or the remote-TPU tunnel) can replay memoized results for
+    # a byte-identical computation across bench invocations.
+    rng = np.random.default_rng()
     dl = 0.083
     turn = rng.normal(0.0, 0.01, size=(BATCH, N_COURSE)).cumsum(axis=1)
     yaw = rng.uniform(-np.pi, np.pi, size=(BATCH, 1)) + turn
@@ -88,19 +90,30 @@ def main():
         )
         return out.accel, out.steer, out.state
 
-    # warmup / compile
+    # warmup / compile; np.asarray forces a real device round-trip —
+    # jax.block_until_ready can return before the computation finishes on
+    # the remote-TPU tunnel once the executable is warm server-side, so
+    # every timing bracket here must end in an actual value fetch.
     t0 = time.time()
     a, d, cs1 = solve_batch(state_j, course_j, cv, valid_len, dl_j, cs)
-    jax.block_until_ready((a, d))
+    np.asarray(a)
     compile_s = time.time() - t0
 
+    # measure the fetch overhead itself so it can be subtracted
+    t0 = time.time()
+    n_fetch = 5
+    for i in range(n_fetch):
+        float(jnp.sum(a) + i)
+    fetch_s = (time.time() - t0) / n_fetch
+
     # steady state: feed the updated controller state back (warm-started
-    # solves, like a real receding-horizon fleet)
+    # solves, like a real receding-horizon fleet); the data dependency
+    # chains the iterations, and the final fetch waits for the whole chain
     t0 = time.time()
     for _ in range(STEADY_ITERS):
         a, d, cs1 = solve_batch(state_j, course_j, cv, valid_len, dl_j, cs1)
-    jax.block_until_ready((a, d))
-    dt_iter = (time.time() - t0) / STEADY_ITERS
+    float(jnp.sum(a))
+    dt_iter = (time.time() - t0 - fetch_s) / STEADY_ITERS
 
     solves_per_sec = BATCH / dt_iter
     target_per_chip = 1000.0 / 16.0
@@ -116,7 +129,7 @@ def main():
     )
     print(
         f"# batch={BATCH} iter_time={dt_iter*1e3:.1f}ms compile={compile_s:.1f}s "
-        f"device={jax.devices()[0]}",
+        f"fetch={fetch_s*1e3:.0f}ms device={jax.devices()[0]}",
         file=sys.stderr,
     )
 

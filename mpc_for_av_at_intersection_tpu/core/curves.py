@@ -16,8 +16,13 @@ All functions are single-scenario; batch with ``jax.vmap``.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_BIG = jnp.float32(1e30)
+# Host-side scalar on purpose: a module-level jnp scalar would live on the
+# default accelerator and force a device->host fetch during every jit
+# lowering that closes over it (seconds to minutes through a remote-TPU
+# tunnel). np scalars embed as MLIR constants for free.
+_BIG = np.float32(1e30)
 
 
 def arc_positions(points_xy, valid_mask=None):

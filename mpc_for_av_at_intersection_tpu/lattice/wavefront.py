@@ -41,7 +41,10 @@ from ..models import VehicleGeometry
 from .primitives import PrimitiveTable
 from .search import SearchWeights, _resample_host
 
-_INF = jnp.float32(jnp.inf)
+# np, not jnp: a module-level jnp scalar lives on the default accelerator
+# and is fetched device->host at every jit lowering that captures it (very
+# slow through a remote-TPU tunnel).
+_INF = np.float32(np.inf)
 
 
 @dataclasses.dataclass(frozen=True)
