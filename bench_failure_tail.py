@@ -26,7 +26,7 @@ def main():
     cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
     cache_dir.mkdir(exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from mpc_for_av_at_intersection_tpu import api
     from mpc_for_av_at_intersection_tpu.engine import EngineConfig
@@ -49,11 +49,12 @@ def main():
         wb, sb, EngineConfig(), geom, N_STEPS,
         fast=jax.default_backend() == "tpu",
     )
-    jax.block_until_ready(summary["n_unsolved_ticks"])
+    # int() is a real value fetch: block_until_ready can return early
+    # through the remote-TPU tunnel, so the fetch must be inside the bracket
+    n_unsolved = int(summary["n_unsolved_ticks"])
     t_run = time.time() - t0
 
     n_ticks = N_SCENARIOS * N_STEPS
-    n_unsolved = int(summary["n_unsolved_ticks"])
     report = {
         "metric": "unsolved_tick_rate",
         "fleet_ticks": n_ticks,

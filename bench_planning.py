@@ -25,7 +25,7 @@ def main():
     cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
     cache_dir.mkdir(exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from mpc_for_av_at_intersection_tpu.api import plan_courses_batch
     from mpc_for_av_at_intersection_tpu.lattice import (

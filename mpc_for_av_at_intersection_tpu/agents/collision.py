@@ -33,14 +33,19 @@ class CollisionScan(NamedTuple):
     frame_idx: jnp.ndarray   # () int32 index into the detailed path
 
 
-def _circle_points(poses, circle_centers):
-    """poses (..., 3) x (n_c, 2) offsets -> (..., n_c, 2) world points."""
-    th = poses[..., 2]
+def _circle_points_soa(x, y, th, circle_centers):
+    """Structure-of-arrays circle centers: (F,) pose components x (n_c, 2)
+    offsets -> px, py each (n_c, F).
+
+    SoA with the frame axis LAST on purpose: an (..., n_c, 2)-shaped AoS
+    tensor puts two size-2 axes in the TPU tile position, which pads
+    (2, 2) -> (8, 128) = a 64x HBM blowup when batched (observed: a 336 KB
+    per-scenario buffer materializing as 22 GB at fleet batch 1024)."""
     c, s = jnp.cos(th), jnp.sin(th)
-    ox, oy = circle_centers[:, 0], circle_centers[:, 1]
-    px = poses[..., 0:1] + c[..., None] * ox - s[..., None] * oy
-    py = poses[..., 1:2] + s[..., None] * ox + c[..., None] * oy
-    return jnp.stack([px, py], axis=-1)
+    ox, oy = circle_centers[:, 0:1], circle_centers[:, 1:2]   # (n_c, 1)
+    px = x[..., None, :] + c[..., None, :] * ox - s[..., None, :] * oy
+    py = y[..., None, :] + s[..., None, :] * ox + c[..., None, :] * oy
+    return px, py
 
 
 def check_collision_moving_cars(
@@ -58,6 +63,7 @@ def check_collision_moving_cars(
     n_obs, n_pred, _ = obs_trajs.shape
     dtype = ego_traj.dtype
     min_d2 = (2.0 * radius) ** 2
+    n_c = circle_centers.shape[0]
 
     frames = jnp.arange(n_frames)
     n_iter = jnp.maximum(n_ego, n_pred)
@@ -65,42 +71,67 @@ def check_collision_moving_cars(
 
     # ego circle points per frame (padded by repeating the last valid pose)
     ego_idx = jnp.minimum(frames, jnp.maximum(n_ego - 1, 0))
-    ego_cc = _circle_points(ego_traj[ego_idx], circle_centers)   # (N_F, n_c, 2)
+    ego_pose = ego_traj[ego_idx]                                   # (N_F, 3)
+    ego_px, ego_py = _circle_points_soa(
+        ego_pose[:, 0], ego_pose[:, 1], ego_pose[:, 2], circle_centers
+    )                                                              # (n_c, N_F)
 
     # shifted obstacle poses: shift s delays by s frames (s<0 advances)
-    shifts = jnp.arange(-frame_window, frame_window + 1)          # (S,)
-    src = jnp.clip(frames[None, :] - shifts[:, None], 0, n_pred - 1)  # (S, N_F)
-    shifted = obs_trajs[:, src]                                    # (n_obs, S, N_F, 3)
-    obs_cc = _circle_points(shifted, circle_centers)               # (n_obs, S, N_F, n_c, 2)
-
-    # frame-aligned pairwise distances: (N_F, n_c_ego, n_obs, S, n_c_obs)
-    d = ego_cc[:, :, None, None, None, :] - jnp.moveaxis(obs_cc, 2, 0)[:, None]
-    hit = jnp.sum(d * d, axis=-1) <= min_d2
-    hit = hit & frame_valid[:, None, None, None, None]
-    hit = hit & obs_active[None, None, :, None, None]
-
-    flat = hit.reshape(-1)
-    first = jnp.argmax(flat)
-    found = flat[first]
-
-    # unravel to recover the colliding obstacle-circle position
-    n_c = circle_centers.shape[0]
+    shifts = jnp.arange(-frame_window, frame_window + 1)           # (S,)
     S = shifts.shape[0]
-    sizes = (n_frames, n_c, n_obs, S, n_c)
-    idxs = []
-    rem = first
-    for sz in sizes[::-1]:
-        idxs.append(rem % sz)
-        rem = rem // sz
-    co, s_i, o_i, _, f_i = idxs  # reversed order
-    obs_pos = obs_cc[o_i, s_i, f_i, co]                            # (2,)
+    src = jnp.clip(frames[None, :] - shifts[:, None], 0, n_pred - 1)  # (S, N_F)
+    sx = obs_trajs[:, :, 0][:, src]                                # (n_obs, S, N_F)
+    sy = obs_trajs[:, :, 1][:, src]
+    sth = obs_trajs[:, :, 2][:, src]
+    obs_px, obs_py = _circle_points_soa(sx, sy, sth, circle_centers)
+    # (n_obs, S, n_c, N_F)
+
+    # frame-aligned pairwise hit test, laid out (n_obs, S, n_c_e, n_c_o, N_F)
+    dx = ego_px[None, None, :, None, :] - obs_px[:, :, None, :, :]
+    dy = ego_py[None, None, :, None, :] - obs_py[:, :, None, :, :]
+    hit = dx * dx + dy * dy <= min_d2
+    hit = hit & frame_valid[None, None, None, None, :]
+    hit = hit & obs_active[:, None, None, None, None]
+
+    # FIRST hit in (frame, ego-circle, obstacle, shift, obstacle-circle)
+    # lexicographic order — reference row order, see module docstring. The
+    # compute layout above keeps frames in the tile lane dimension, so the
+    # ordering is recovered by min-reducing an encoded index key instead of
+    # transposing/materializing the (frame-major) boolean tensor.
+    f_ix = frames[None, None, None, None, :]
+    ce_ix = jnp.arange(n_c)[None, None, :, None, None]
+    o_ix = jnp.arange(n_obs)[:, None, None, None, None]
+    s_ix = jnp.arange(S)[None, :, None, None, None]
+    co_ix = jnp.arange(n_c)[None, None, None, :, None]
+    key = (((f_ix * n_c + ce_ix) * n_obs + o_ix) * S + s_ix) * n_c + co_ix
+    big = jnp.iinfo(jnp.int32).max
+    first = jnp.min(jnp.where(hit, key.astype(jnp.int32), big))
+    found = first < big
+    first = jnp.where(found, first, 0)
+
+    # decode the colliding (obstacle, shift, frame, obstacle-circle) and
+    # recompute that single circle point (nothing big is kept alive)
+    co = first % n_c
+    s_i = (first // n_c) % S
+    o_i = (first // (n_c * S)) % n_obs
+    f_i = first // (n_c * S * n_obs * n_c)
+    src_f = jnp.clip(f_i - shifts[s_i], 0, n_pred - 1)
+    pose = obs_trajs[o_i, src_f]                                   # (3,)
+    ox = circle_centers[co, 0]
+    oy = circle_centers[co, 1]
+    c2, s2 = jnp.cos(pose[2]), jnp.sin(pose[2])
+    obs_pos = jnp.stack(
+        [pose[0] + c2 * ox - s2 * oy, pose[1] + s2 * ox + c2 * oy]
+    )
 
     # re-localize on the detailed path: circle-major scan, argmax % N_T
     N_T = detail_traj.shape[0]
-    det_cc = _circle_points(detail_traj, circle_centers)           # (N_T, n_c, 2)
-    det_cc = jnp.moveaxis(det_cc, 1, 0)                            # (n_c, N_T, 2)
-    dd = det_cc - obs_pos
-    hit2 = jnp.sum(dd * dd, axis=-1) <= min_d2
+    det_px, det_py = _circle_points_soa(
+        detail_traj[:, 0], detail_traj[:, 1], detail_traj[:, 2], circle_centers
+    )                                                              # (n_c, N_T)
+    ddx = det_px - obs_pos[0]
+    ddy = det_py - obs_pos[1]
+    hit2 = ddx * ddx + ddy * ddy <= min_d2
     hit2 = hit2 & (jnp.arange(N_T) < n_detail)[None, :]
     first2 = jnp.argmax(hit2.reshape(-1))
     frame_idx = (first2 % N_T).astype(jnp.int32)

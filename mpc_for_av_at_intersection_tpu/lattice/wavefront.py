@@ -122,11 +122,17 @@ class WavefrontConfig:
 
 
 class PrimitiveDeviceData(NamedTuple):
-    ends: jnp.ndarray       # (P, 3) endpoint pose in the parent frame
-    lengths: jnp.ndarray    # (P,)
-    cc: jnp.ndarray         # (P, C, 2) collision-check points (padded)
-    cc_mask: jnp.ndarray    # (P, C)
-    points: jnp.ndarray     # (P, K, 3) full arcs for trajectory replay
+    """Host (numpy) arrays on purpose: they are compile-time constants of a
+    search (used to build static structures like pack_collision's grouping
+    matrix, and embedded as free MLIR constants under jit). Device-resident
+    members would break tracing (TracerArrayConversionError) and force slow
+    device->host fetches at lowering time."""
+
+    ends: np.ndarray       # (P, 3) endpoint pose in the parent frame
+    lengths: np.ndarray    # (P,)
+    cc: np.ndarray         # (P, C, 2) collision-check points (padded)
+    cc_mask: np.ndarray    # (P, C)
+    points: np.ndarray     # (P, K, 3) full arcs for trajectory replay
 
 
 def prepare_primitives(table: PrimitiveTable, geom: VehicleGeometry, dtype=jnp.float32):
@@ -148,12 +154,13 @@ def prepare_primitives(table: PrimitiveTable, geom: VehicleGeometry, dtype=jnp.f
     for p, b in enumerate(blocks):
         cc[p, : len(b)] = b
         mask[p, : len(b)] = True
+    np_dtype = np.dtype(dtype)
     return PrimitiveDeviceData(
-        ends=jnp.asarray(table.points[:, -1, :], dtype),
-        lengths=jnp.asarray(table.lengths, dtype),
-        cc=jnp.asarray(cc, dtype),
-        cc_mask=jnp.asarray(mask),
-        points=jnp.asarray(table.points, dtype),
+        ends=np.asarray(table.points[:, -1, :], np_dtype),
+        lengths=np.asarray(table.lengths, np_dtype),
+        cc=np.asarray(cc, np_dtype),
+        cc_mask=np.asarray(mask, bool),
+        points=np.asarray(table.points, np_dtype),
     )
 
 
@@ -214,6 +221,15 @@ def wavefront_search(
         from ..ops.collision_pallas import frontier_collision, pack_collision
 
         packed = pack_collision(prims.cc, prims.cc_mask, hp, obstacle_valid)
+
+    # cc/cc_mask stay numpy (pack_collision builds static host structures
+    # from them); fields indexed by traced values must be jnp — as numpy
+    # constants they convert for free under trace, no device closure
+    prims = prims._replace(
+        ends=jnp.asarray(prims.ends, dtype),
+        lengths=jnp.asarray(prims.lengths, dtype),
+        points=jnp.asarray(prims.points, dtype),
+    )
 
     def wrap_pi(a):
         return jnp.mod(a + jnp.pi, 2 * jnp.pi) - jnp.pi
@@ -480,17 +496,12 @@ def plan_courses_device(
     if cfg is None:
         cfg = WavefrontConfig.for_scenarios(scenarios)
 
-    from .primitives import primitive_table
-
-    table = primitive_table(geom)
-    prims = prepare_primitives(table, geom, dtype)
     arrs = stack_scenario_arrays(
         [compile_scenario(s, margin=margin) for s in scenarios]
     )
 
-    run = _planner_fn(cfg, w, collision)
+    run = _planner_fn(cfg, w, collision, geom, jnp.dtype(dtype).name)
     return run(
-        prims,
         jnp.asarray(arrs.halfplanes, dtype),
         jnp.asarray(arrs.obstacle_valid),
         jnp.asarray(arrs.start, dtype),
@@ -501,13 +512,21 @@ def plan_courses_device(
 
 
 @_functools.lru_cache(maxsize=32)
-def _planner_fn(cfg: WavefrontConfig, w: SearchWeights, collision: str):
+def _planner_fn(cfg: WavefrontConfig, w: SearchWeights, collision: str,
+                geom: VehicleGeometry, dtype_name: str):
     """Memoized jitted batch planner: repeated ``plan_courses_device`` calls
-    with the same (grid, weights, collision) hit one compiled executable
-    instead of re-tracing (configs are frozen dataclasses, hashable)."""
+    with the same (grid, weights, collision, vehicle) hit one compiled
+    executable instead of re-tracing (all key parts are frozen dataclasses,
+    hashable). The primitive table is a compile-time constant of the search
+    (static host structures are built from it), so it is closed over as
+    numpy rather than passed as a traced argument."""
+    from .primitives import primitive_table
+
+    dtype = jnp.dtype(dtype_name)
+    prims = prepare_primitives(primitive_table(geom), geom, dtype)
 
     @jax.jit
-    def run(prims, hp, ov, st, gp, gb, tt):
+    def run(hp, ov, st, gp, gb, tt):
         return jax.vmap(
             lambda h, o, s, g, b, t: wavefront_search(
                 h, o, s, g, b, t, prims, cfg, weights=w, collision=collision
