@@ -50,8 +50,12 @@ def main():
     # realistic per-scenario tracking instances: smooth random courses,
     # ego states near the course with varying speed. Entropy-seeded so no
     # layer (JAX or the remote-TPU tunnel) can replay memoized results for
-    # a byte-identical computation across bench invocations.
-    rng = np.random.default_rng()
+    # a byte-identical computation across bench invocations — but the seed
+    # is recorded so any individual run can be replayed exactly.
+    import os
+
+    seed = int.from_bytes(os.urandom(4), "little")
+    rng = np.random.default_rng(seed)
     dl = 0.083
     turn = rng.normal(0.0, 0.01, size=(BATCH, N_COURSE)).cumsum(axis=1)
     yaw = rng.uniform(-np.pi, np.pi, size=(BATCH, 1)) + turn
@@ -129,7 +133,7 @@ def main():
     )
     print(
         f"# batch={BATCH} iter_time={dt_iter*1e3:.1f}ms compile={compile_s:.1f}s "
-        f"fetch={fetch_s*1e3:.0f}ms device={jax.devices()[0]}",
+        f"fetch={fetch_s*1e3:.0f}ms seed={seed} device={jax.devices()[0]}",
         file=sys.stderr,
     )
 

@@ -65,6 +65,18 @@ def check_collision_moving_cars(
     min_d2 = (2.0 * radius) ** 2
     n_c = circle_centers.shape[0]
 
+    # the lexicographic first-hit key below is encoded in int32; all factors
+    # are static Python ints, so guard the encoding range host-side (safe at
+    # the reference config n_frames=128, n_c=2, S=41, small n_obs; silently
+    # wrong ordering if it ever overflowed)
+    n_shifts = 2 * frame_window + 1
+    max_key = n_frames * n_c * n_obs * n_shifts * n_c
+    if max_key >= jnp.iinfo(jnp.int32).max:
+        raise ValueError(
+            "collision first-hit key would overflow int32: "
+            f"n_frames*n_c^2*n_obs*(2*frame_window+1) = {max_key} >= 2^31-1"
+        )
+
     frames = jnp.arange(n_frames)
     n_iter = jnp.maximum(n_ego, n_pred)
     frame_valid = frames < n_iter

@@ -61,6 +61,7 @@ class DriverSetup:
     cfg: EngineConfig
     trajectory: np.ndarray
     trajectories: Optional[List[np.ndarray]] = None  # multi-ego
+    scenario: Optional[object] = None                # world geometry (viz)
 
 
 def plan_course(
@@ -92,7 +93,7 @@ def _single(scenario, rows, cfg, weights=SearchWeights.modified(), geom=None,
     params, ag = stack_agents(rows, n_slots=cfg.n_agents)
     world = make_world(trajectory, params, cfg)
     state0 = init_engine_state(world, ag, cfg, n_steps)
-    return DriverSetup(geom, world, state0, cfg, trajectory)
+    return DriverSetup(geom, world, state0, cfg, trajectory, scenario=scenario)
 
 
 def build_intersection(
@@ -243,7 +244,9 @@ def build_multi_ego_intersection(
     params, ag = stack_agents([], n_slots=cfg.n_agents)
     world = make_multi_ego_world(trajs, params, cfg)
     state0 = init_multi_ego_state(world, ag, cfg, n_steps)
-    return DriverSetup(geom, world, state0, cfg, trajs[0], trajectories=trajs)
+    return DriverSetup(geom, world, state0, cfg, trajs[0], trajectories=trajs,
+                       scenario=intersection(turn_indicator=configs[0][1],
+                                             start_pos=configs[0][0]))
 
 
 def plan_courses_batch(

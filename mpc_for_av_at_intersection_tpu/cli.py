@@ -36,9 +36,25 @@ def _cmd_run(args):
     }
     setup = builders[args.driver]()
     t0 = time.perf_counter()
-    run = jax.jit(lambda w, s: run_episode(w, s, setup.cfg, setup.geom, args.steps))
-    final, tel = run(setup.world, setup.state0)
-    jax.block_until_ready(final)
+    if getattr(args, "live", False) or getattr(args, "live_save", None):
+        # reference-style frame-by-frame loop (mpc_intersection.py:150):
+        # one jitted engine tick per iteration, rendered as it happens
+        from .engine import run_episode_live
+        from .utils.plotting import LiveView
+
+        view = LiveView(
+            setup.scenario, setup.geom, trajectory=setup.trajectory,
+            dt=setup.cfg.mpc.dt, save_dir=getattr(args, "live_save", None),
+        )
+        final, tel = run_episode_live(
+            setup.world, setup.state0, setup.cfg, setup.geom, args.steps,
+            on_tick=view,
+        )
+        view.close()
+    else:
+        run = jax.jit(lambda w, s: run_episode(w, s, setup.cfg, setup.geom, args.steps))
+        final, tel = run(setup.world, setup.state0)
+        jax.block_until_ready(final)
     tel = jax.tree.map(np.asarray, tel)
     dt = time.perf_counter() - t0
 
@@ -197,6 +213,12 @@ def main(argv=None):
     r.add_argument("--steps", type=int, default=256)
     r.add_argument("--save-telemetry", default=None)
     r.add_argument("--plot", default=None)
+    r.add_argument("--live", action="store_true",
+                   help="render every control tick as it runs "
+                        "(reference-style live animation; needs a display)")
+    r.add_argument("--live-save", default=None, metavar="DIR",
+                   help="live per-tick rendering, frames streamed to DIR "
+                        "(headless equivalent of --live)")
     r.set_defaults(fn=_cmd_run)
 
     pl = sub.add_parser("plan", help="global lattice plan only")

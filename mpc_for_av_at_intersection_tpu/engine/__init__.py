@@ -7,6 +7,7 @@ from .closed_loop import (
     init_engine_state,
     make_world,
     run_episode,
+    run_episode_live,
 )
 from .fleet import engine_tick_fleet, run_fleet_episodes
 from .multi_ego import (
@@ -33,4 +34,5 @@ __all__ = [
     "init_engine_state",
     "make_world",
     "run_episode",
+    "run_episode_live",
 ]

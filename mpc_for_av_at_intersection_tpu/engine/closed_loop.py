@@ -367,3 +367,50 @@ def run_episode(
         return engine_tick(world, st, cfg, geom)
 
     return jax.lax.scan(step, state0, None, length=n_steps)
+
+
+def run_episode_live(
+    world: WorldArrays,
+    state0: EngineState,
+    cfg: EngineConfig,
+    geom: VehicleGeometry,
+    n_steps: int,
+    on_tick=None,
+):
+    """Host-loop episode: one jitted ``engine_tick`` per iteration, with a
+    per-tick host callback — the live-rendering execution mode of the
+    reference's closed loop (``mpc_intersection.py:150, 273-316``: redraw +
+    ``plt.pause`` every control tick).
+
+    ``on_tick(k, state, tel, agents6)`` receives the tick index, the
+    post-tick ``EngineState``, that tick's ``Telemetry`` row, and the
+    scripted agents' ``(n_agents, 6)`` states — all as host numpy. Breaks
+    early when the scenario finishes (like the reference's goal-test
+    ``break``). Returns ``(final_state, Telemetry)`` with telemetry stacked
+    over the executed ticks only.
+
+    This trades fleet throughput for per-tick host visibility — the
+    offline ``run_episode`` scan stays the production path; benchmarks
+    never route through here.
+    """
+    from ..agents import agents_get
+
+    tick = jax.jit(
+        lambda w, s: engine_tick(w, s, cfg, geom), static_argnames=()
+    )
+    st = state0
+    rows = []
+    for k in range(n_steps):
+        st, tel = tick(world, st)
+        tel_np = jax.tree.map(np.asarray, tel)
+        rows.append(tel_np)
+        if on_tick is not None:
+            st_np = jax.tree.map(np.asarray, st)
+            obs6 = np.asarray(
+                agents_get(world.agent_params, st.agents, cfg.mpc.dt)
+            )
+            on_tick(k, st_np, tel_np, obs6)
+        if bool(st.done):
+            break
+    telemetry = jax.tree.map(lambda *xs: np.stack(xs), *rows)
+    return st, telemetry

@@ -29,6 +29,24 @@ def batch_mesh(devices=None) -> Mesh:
     return Mesh(devices.reshape(-1), axis_names=("batch",))
 
 
+def host_chip_mesh(n_hosts: int, devices=None) -> Mesh:
+    """2-axis ``(hosts, chips)`` mesh — the SURVEY §5.8 topology.
+
+    On a real multi-host slice the outer axis crosses DCN and the inner
+    axis rides ICI; collectives placed over ``('hosts', 'chips')`` then
+    reduce hierarchically. In this single-host environment the same mesh
+    shape over virtual CPU devices *emulates* the ≥2-host row: the
+    program (shardings, collectives, lowering) is identical to what a
+    2-host run would execute, only the transport differs.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if n % n_hosts:
+        raise ValueError(f"{n} devices not divisible into {n_hosts} hosts")
+    return Mesh(devices.reshape(n_hosts, n // n_hosts),
+                axis_names=("hosts", "chips"))
+
+
 def stack_worlds(worlds) -> WorldArrays:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *worlds)
 
@@ -83,20 +101,27 @@ def run_batch_episodes(
         final, tel = vrun(world_batch, state_batch)
         return final, tel, summarize(final, tel)
 
+    # the scenario batch axis shards over EVERY mesh axis flattened — a 1-D
+    # ('batch',) mesh and the 2-axis ('hosts', 'chips') topology run the
+    # same program; the psum reduces over the combined axes (hierarchical
+    # DCN+ICI reduction on a real multi-host slice)
+    axes = tuple(mesh.axis_names)
+    batch_spec = P(axes if len(axes) > 1 else axes[0])
+
     def shard_fn(w, s):
         final, tel = vrun(w, s)
         local = summarize(final, tel)
-        summary = jax.tree.map(lambda x: jax.lax.psum(x, "batch"), local)
+        summary = jax.tree.map(lambda x: jax.lax.psum(x, axes), local)
         return final, tel, summary
 
     specs_in = (
-        jax.tree.map(lambda _: P("batch"), world_batch),
-        jax.tree.map(lambda _: P("batch"), state_batch),
+        jax.tree.map(lambda _: batch_spec, world_batch),
+        jax.tree.map(lambda _: batch_spec, state_batch),
     )
     out_shape = jax.eval_shape(vrun, world_batch, state_batch)
     specs_out = (
-        jax.tree.map(lambda _: P("batch"), out_shape[0]),
-        jax.tree.map(lambda _: P("batch"), out_shape[1]),
+        jax.tree.map(lambda _: batch_spec, out_shape[0]),
+        jax.tree.map(lambda _: batch_spec, out_shape[1]),
         {k: P() for k in ("n_done", "ticks_to_goal_sum", "n_unsolved_ticks")},
     )
     fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=specs_in, out_specs=specs_out)

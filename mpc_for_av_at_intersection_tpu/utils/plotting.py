@@ -1,11 +1,13 @@
-"""Offline visualization from telemetry arrays.
+"""Visualization: offline from telemetry arrays, or live per tick.
 
 Capability parity with reference ``main/lib/plotting.py`` (scenario/car/
 search-point drawing), ``visualisation.py`` (animation factory) and the
 drivers' final plots (speed/accel/deviation traces, time-colored trajectory
-overlays — ``scenarios/mpc_intersection.py:177-271``). Unlike the
-reference, nothing here runs inside the control loop: the engine produces
-telemetry arrays and rendering happens afterwards.
+overlays — ``scenarios/mpc_intersection.py:177-271``). The production path
+keeps rendering OUT of the control loop (the engine produces telemetry
+arrays; figures are built afterwards); the reference's live frame-by-frame
+animation (``mpc_intersection.py:150, 273-316``) is available through
+``LiveView`` + ``engine.run_episode_live`` for interactive use.
 """
 
 from __future__ import annotations
@@ -247,3 +249,75 @@ def animate_episode(
         ax.set_title(f"t = {k * dt:.1f} s")
 
     return FuncAnimation(fig, frame, frames=len(x), interval=interval_ms)
+
+
+class LiveView:
+    """Per-tick live renderer (reference ``visualize_frame``,
+    ``mpc_intersection.py:273-316``): scenario + reference path + growing
+    ego trail + ego/agent cars, redrawn every control tick.
+
+    Use as the ``on_tick`` callback of ``engine.run_episode_live``. With a
+    display, frames appear interactively (``plt.pause``, like the
+    reference); with ``save_dir`` set, each frame is written as it is
+    produced (``frame_0000.png``, ...) — still per-tick streaming, usable
+    headless.
+    """
+
+    def __init__(self, scenario: Scenario, geom: VehicleGeometry,
+                 trajectory=None, dt: float = 0.2,
+                 extent=(-45.0, 45.0, -45.0, 45.0),
+                 save_dir: Optional[str] = None, pause_s: float = 0.001):
+        import matplotlib
+
+        if save_dir is not None:
+            matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        self._plt = plt
+        self.scenario = scenario
+        self.geom = geom
+        self.trajectory = None if trajectory is None else np.asarray(trajectory)
+        self.dt = dt
+        self.extent = extent
+        self.save_dir = save_dir
+        self.pause_s = pause_s
+        self.trail_x: list = []
+        self.trail_y: list = []
+        self.fig, self.ax = plt.subplots(figsize=(8, 8))
+        if save_dir is not None:
+            import os
+
+            os.makedirs(save_dir, exist_ok=True)
+        elif hasattr(plt, "ion"):
+            plt.ion()
+            plt.show(block=False)
+
+    def __call__(self, k, st, tel, agents6):
+        ax = self.ax
+        ax.cla()
+        draw_scenario(self.scenario, ax)
+        if self.trajectory is not None:
+            ax.plot(self.trajectory[:, 0], self.trajectory[:, 1],
+                    color="0.8", lw=3, zorder=0)
+        self.trail_x.append(float(tel.x))
+        self.trail_y.append(float(tel.y))
+        ax.plot(self.trail_x, self.trail_y, "-r", lw=1.5)
+        draw_car((float(tel.x), float(tel.y), float(tel.yaw)), self.geom, ax,
+                 color="k", steer=float(tel.steer))
+        for j in range(agents6.shape[0]):
+            a = agents6[j]
+            if a[2] != 0.0 or a[0] != 0.0 or a[1] != 0.0:
+                draw_car((a[0], a[1], a[3]), self.geom, ax, color="tab:blue")
+        ax.set_xlim(self.extent[0], self.extent[1])
+        ax.set_ylim(self.extent[2], self.extent[3])
+        ax.set_title(
+            f"t = {k * self.dt:.1f} s   v = {float(tel.v) * 3.6:.1f} km/h"
+        )
+        if self.save_dir is not None:
+            self.fig.savefig(f"{self.save_dir}/frame_{k:04d}.png", dpi=90)
+        else:
+            self.fig.canvas.draw_idle()
+            self._plt.pause(self.pause_s)
+
+    def close(self):
+        self._plt.close(self.fig)

@@ -155,3 +155,31 @@ def test_cutoff_index_matches_reference():
     # miss case
     found2, _ = cutoff_index_by_position(jnp.asarray(pts), 150, jnp.array([999.0, 999.0]))
     assert not bool(found2)
+
+
+def test_collision_first_hit_key_int32_guard():
+    """The lexicographic first-hit key is int32-encoded; configurations
+    that would overflow it must be rejected host-side (silent ordering
+    corruption otherwise)."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from mpc_for_av_at_intersection_tpu.agents import check_collision_moving_cars
+
+    args = lambda n_obs: dict(
+        ego_traj=jnp.zeros((8, 3)), n_ego=jnp.int32(8),
+        detail_traj=jnp.zeros((8, 3)), n_detail=jnp.int32(8),
+        obs_trajs=jnp.zeros((n_obs, 4, 3)), obs_active=jnp.ones((n_obs,), bool),
+        circle_centers=jnp.zeros((3, 2)), radius=1.0,
+        frame_window=255, n_frames=512,
+    )
+    # 512*3*1000*511*3 > 2^31-1 -> must raise
+    with _pytest.raises(ValueError, match="overflow int32"):
+        check_collision_moving_cars(**args(1000))
+    # 512*3*700*511*3 < 2^31-1 -> must pass the guard (trace only; actually
+    # executing this config would materialize a ~1.6e9-element tensor)
+    import jax as _jax
+
+    kw = args(700)
+    static = {k: kw.pop(k) for k in ("radius", "frame_window", "n_frames")}
+    _jax.eval_shape(lambda kw: check_collision_moving_cars(**kw, **static), kw)

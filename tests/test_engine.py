@@ -126,3 +126,39 @@ def test_flagship_episode_no_traffic_is_faster(flagship):
     final, tel = run(world, st0)
     assert bool(final.done)
     assert not np.asarray(tel.collision_found).any()
+
+
+def test_live_episode_matches_scanned_engine(flagship, tmp_path):
+    """run_episode_live (per-tick host loop + LiveView rendering) must
+    produce tick-for-tick identical telemetry to the lax.scan engine, and
+    must stream frames as they are produced."""
+    from mpc_for_av_at_intersection_tpu.engine import run_episode_live
+    from mpc_for_av_at_intersection_tpu.utils.plotting import LiveView
+
+    geom, trajectory = flagship
+    cfg = EngineConfig()
+    rows = [make_t_intersection_agent(direction=1, turning=False,
+                                      speed=25 / 3.6, offset=2.0)]
+    params, ag_states = stack_agents(rows, n_slots=cfg.n_agents)
+    world = make_world(trajectory, params, cfg)
+    n = 6
+    st0 = init_engine_state(world, ag_states, cfg, n)
+
+    final_s, tel_s = jax.jit(
+        lambda w, s: run_episode(w, s, cfg, geom, n)
+    )(world, st0)
+
+    scenario = intersection(turn_indicator=1, start_pos=4)
+    view = LiveView(scenario, geom, trajectory=trajectory,
+                    save_dir=str(tmp_path / "frames"))
+    final_l, tel_l = run_episode_live(world, st0, cfg, geom, n, on_tick=view)
+    view.close()
+
+    for name in ("x", "y", "yaw", "v", "accel", "steer"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(tel_l, name)),
+            np.asarray(getattr(tel_s, name))[: len(tel_l.x)],
+            atol=1e-6, err_msg=name,
+        )
+    frames = sorted((tmp_path / "frames").glob("frame_*.png"))
+    assert len(frames) == len(tel_l.x)

@@ -67,3 +67,67 @@ def test_batched_episodes_sharded_equals_vmap():
     np.testing.assert_allclose(np.asarray(t1.steer), np.asarray(t2.steer), atol=1e-6)
     assert int(s1["n_done"]) == int(s2["n_done"])
     assert int(s2["n_unsolved_ticks"]) == int(s1["n_unsolved_ticks"])
+
+    # 2-axis (hosts, chips) topology — the emulated >=2-host row (SURVEY
+    # §5.8): same program as a real 2-host 2x4 slice, sharded over both
+    # axes flattened, psum over the combined axis
+    from mpc_for_av_at_intersection_tpu.parallel import host_chip_mesh
+
+    mesh2 = host_chip_mesh(2)
+    assert mesh2.devices.shape == (2, 4)
+    f3, t3, s3 = run_batch_episodes(wb, sb, cfg, geom, 3, mesh=mesh2)
+    np.testing.assert_allclose(np.asarray(f1.ego), np.asarray(f3.ego), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t1.steer), np.asarray(t3.steer), atol=1e-6)
+    assert int(s3["n_done"]) == int(s1["n_done"])
+    assert int(s3["n_unsolved_ticks"]) == int(s1["n_unsolved_ticks"])
+
+
+def test_two_process_distributed_smoke():
+    """Real multi-process run: 2 CPU processes x 4 virtual devices each,
+    joined via jax.distributed (Gloo transport standing in for DCN), fleet
+    sharded over the global (hosts, chips) mesh. Both processes must report
+    the same psum'd summary, and it must match the single-process oracle."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from mpc_for_av_at_intersection_tpu.parallel import run_batch_episodes
+    from mpc_for_av_at_intersection_tpu.parallel.fleet_worker import (
+        build_demo_fleet,
+    )
+
+    # single-process oracle on the same deterministic demo fleet
+    cfg, geom, wb, sb = build_demo_fleet(8, 3)
+    _, _, s_ref = run_batch_episodes(wb, sb, cfg, geom, 3, mesh=None)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = []
+    for pid in (0, 1):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m",
+             "mpc_for_av_at_intersection_tpu.parallel.fleet_worker",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--emulate-local-devices", "4", "--batch", "8", "--steps", "3"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ))
+    reports = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        reports.append(json.loads(out.strip().splitlines()[-1]))
+
+    assert all(r["process_count"] == 2 for r in reports)
+    assert all(r["global_devices"] == 8 for r in reports)
+    assert all(r["mesh"] == {"hosts": 2, "chips": 4} for r in reports)
+    for key, ref in (("n_done", int(s_ref["n_done"])),
+                     ("ticks_to_goal_sum", int(s_ref["ticks_to_goal_sum"])),
+                     ("n_unsolved_ticks", int(s_ref["n_unsolved_ticks"]))):
+        assert reports[0][key] == reports[1][key] == ref, (key, reports, ref)
