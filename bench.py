@@ -94,14 +94,22 @@ def main():
         )
         return out.accel, out.steer, out.state
 
-    # warmup / compile; np.asarray forces a real device round-trip —
-    # jax.block_until_ready can return before the computation finishes on
-    # the remote-TPU tunnel once the executable is warm server-side, so
-    # every timing bracket here must end in an actual value fetch.
+    # Cold start, split honestly (probed r3: trace ~1.4s, lower ~0.2s, XLA
+    # compile 7-28s — persistent cache covers THIS part — and then a first
+    # EXECUTION of 270-550s through the axon tunnel that no client-side
+    # cache affects; see NOTES.md). np.asarray forces a real device
+    # round-trip — jax.block_until_ready can return before the computation
+    # finishes on the remote tunnel, so every timing bracket here must end
+    # in an actual value fetch.
     t0 = time.time()
-    a, d, cs1 = solve_batch(state_j, course_j, cv, valid_len, dl_j, cs)
-    np.asarray(a)
+    compiled = solve_batch.trace(
+        state_j, course_j, cv, valid_len, dl_j, cs
+    ).lower().compile()
     compile_s = time.time() - t0
+    t0 = time.time()
+    a, d, cs1 = compiled(state_j, course_j, cv, valid_len, dl_j, cs)
+    np.asarray(a)
+    first_exec_s = time.time() - t0
 
     # measure the fetch overhead itself so it can be subtracted
     t0 = time.time()
@@ -115,7 +123,7 @@ def main():
     # chains the iterations, and the final fetch waits for the whole chain
     t0 = time.time()
     for _ in range(STEADY_ITERS):
-        a, d, cs1 = solve_batch(state_j, course_j, cv, valid_len, dl_j, cs1)
+        a, d, cs1 = compiled(state_j, course_j, cv, valid_len, dl_j, cs1)
     float(jnp.sum(a))
     dt_iter = (time.time() - t0 - fetch_s) / STEADY_ITERS
 
@@ -133,7 +141,8 @@ def main():
     )
     print(
         f"# batch={BATCH} iter_time={dt_iter*1e3:.1f}ms compile={compile_s:.1f}s "
-        f"fetch={fetch_s*1e3:.0f}ms seed={seed} device={jax.devices()[0]}",
+        f"first_exec={first_exec_s:.1f}s fetch={fetch_s*1e3:.0f}ms seed={seed} "
+        f"device={jax.devices()[0]}",
         file=sys.stderr,
     )
 
