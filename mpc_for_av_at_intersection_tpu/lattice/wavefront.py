@@ -475,16 +475,22 @@ def plan_courses_device(
     collision: str = "auto",
     margin: float | None = None,
     dtype=jnp.float32,
+    engine: str = "auto",
+    max_expansions: int = 8192,
 ):
     """Batch-plan many scenarios' global courses ON DEVICE — the production
     planning path (SURVEY section 7.2.3 "run thousands of scenarios'
     searches as one batched kernel"). The host C++ search stays the exact
     oracle / fallback.
 
-    Compiles every scenario to padded arrays, sizes one shared grid from
-    the batch geometry (``WavefrontConfig.for_scenarios``), and runs ONE
-    jitted vmapped ``wavefront_search``. Returns the batched
-    ``WavefrontResult`` (host code trims ``trajectory[:n_points]``).
+    engine="astar": the VMEM-resident serial-A* Pallas kernel
+    (``ops/astar_pallas.py``) — one program per scenario, whole grid state
+    in VMEM, zero HBM traffic per expansion. ~2 orders of magnitude faster
+    than the XLA beam on this environment's ~1 GB/s-HBM device, and pops in
+    best-first order like the host search (no beam recall slack).
+    engine="beam": the XLA top-F wavefront (any backend; the
+    Pallas-interpret collision path makes it CPU-testable).
+    engine="auto": astar on TPU, beam elsewhere.
     """
     from ..worlds.scenario import compile_scenario, stack_scenario_arrays
 
@@ -493,12 +499,32 @@ def plan_courses_device(
     if margin is None:
         margin = geom.radius
     w = weights if weights is not None else SearchWeights.modified()
+
+    if engine == "auto":
+        engine = "astar" if jax.default_backend() == "tpu" else "beam"
+
     if cfg is None:
-        cfg = WavefrontConfig.for_scenarios(scenarios)
+        if engine in ("astar", "astar_interpret"):
+            # the serial kernel holds the whole grid in VMEM; theta=48 bins
+            # recovers exact host-cost parity on every junction config
+            # (theta=32's coarser merge wins/loses ~9% on some left turns).
+            # Guard the ~13.5 MB VMEM budget (6 grid arrays + inputs).
+            cfg = WavefrontConfig.for_scenarios(scenarios, ntheta=48)
+            if cfg.n_cells * 24 > 13.5e6:
+                cfg = WavefrontConfig.for_scenarios(scenarios, ntheta=32)
+        else:
+            cfg = WavefrontConfig.for_scenarios(scenarios)
 
     arrs = stack_scenario_arrays(
         [compile_scenario(s, margin=margin) for s in scenarios]
     )
+
+    if engine in ("astar", "astar_interpret"):
+        return _astar_courses(
+            arrs, geom, w, cfg, dtype,
+            interpret=(engine == "astar_interpret"),
+            max_expansions=max_expansions,
+        )
 
     run = _planner_fn(cfg, w, collision, geom, jnp.dtype(dtype).name)
     return run(
@@ -509,6 +535,91 @@ def plan_courses_device(
         jnp.asarray(arrs.goal_area_corners, dtype),
         jnp.asarray(arrs.goal_theta_tol, dtype),
     )
+
+
+def _astar_courses(arrs, geom, w, cfg, dtype, interpret, max_expansions):
+    """Kernel search + XLA backtrack/replay -> batched WavefrontResult."""
+    from ..ops.astar_pallas import astar_search_batch
+    from .primitives import primitive_table
+
+    prims = prepare_primitives(primitive_table(geom), geom, dtype)
+    res = astar_search_batch(
+        arrs.halfplanes, arrs.obstacle_valid,
+        jnp.asarray(arrs.start, dtype), jnp.asarray(arrs.goal_point, dtype),
+        jnp.asarray(arrs.goal_area_corners, dtype),
+        jnp.asarray(arrs.goal_theta_tol, dtype),
+        prims, cfg, w, max_expansions=max_expansions, interpret=interpret,
+    )
+    points = jnp.asarray(prims.points, dtype)
+    start = jnp.asarray(arrs.start, dtype)
+    traj, n_points, n_edges = _backtrack_replay_batch(
+        res.found, res.goal_cell, res.parent, res.prim, start, points,
+        cfg.max_edges,
+    )
+    cost = jnp.where(res.found, res.cost, jnp.inf)
+    return WavefrontResult(
+        found=res.found, cost=cost, trajectory=traj, n_points=n_points,
+        n_edges=n_edges, oob=res.oob,
+    )
+
+
+@_functools.partial(jax.jit, static_argnames=("E",))
+def _backtrack_replay_batch(found, goal_cell, parent, prim, start, points, E):
+    """Walk the kernel's parent/prim grid from the popped goal cell and
+    replay the exact continuous primitive chain (same semantics as the
+    beam search's in-scan backtrack; reference path_to_full_trajectory,
+    motion_primitive_search.py:123)."""
+    K = points.shape[1]
+    Km1 = K - 1
+
+    def one(found_b, gcell_b, parent_b, prim_b, start_b):
+        def back(carry, _):
+            cell, k, seq = carry
+            has = cell >= 0
+            p_here = jnp.where(has, prim_b[jnp.maximum(cell, 0)], -1)
+            seq = jnp.where(has & (p_here >= 0), seq.at[k].set(p_here), seq)
+            k = jnp.where(has & (p_here >= 0), k + 1, k)
+            nxt = jnp.where(has, parent_b[jnp.maximum(cell, 0)], -1)
+            return (nxt, k, seq), None
+
+        seq0 = jnp.full((E,), -1, jnp.int32)
+        cell0 = jnp.where(found_b, gcell_b, -1)
+        (_, k_rev, seq_rev), _ = jax.lax.scan(
+            back, (cell0, jnp.asarray(0, jnp.int32), seq0), None, length=E
+        )
+        n_edges = jnp.where(found_b, k_rev, 0)
+        idx = jnp.clip(n_edges - 1 - jnp.arange(E), 0, E - 1)
+        seq_fwd = jnp.where(jnp.arange(E) < n_edges, seq_rev[idx], -1)
+
+        def replay(carry, e):
+            pose_c, out = carry
+            p = seq_fwd[e]
+            use = p >= 0
+            pts = points[jnp.maximum(p, 0)]
+            cth, sth = jnp.cos(pose_c[2]), jnp.sin(pose_c[2])
+            world = jnp.stack(
+                [
+                    pose_c[0] + cth * pts[:, 0] - sth * pts[:, 1],
+                    pose_c[1] + sth * pts[:, 0] + cth * pts[:, 1],
+                    pts[:, 2] + pose_c[2],
+                ],
+                axis=1,
+            )
+            out = jnp.where(
+                use,
+                jax.lax.dynamic_update_slice(out, world[:Km1], (e * Km1, 0)),
+                out,
+            )
+            nxt = jnp.stack(
+                [world[-1, 0], world[-1, 1], _normalize(world[-1, 2])])
+            pose_c = jnp.where(use, nxt, pose_c)
+            return (pose_c, out), None
+
+        out0 = jnp.zeros((E * Km1 + 1, 3), start_b.dtype)
+        (_, traj), _ = jax.lax.scan(replay, (start_b, out0), jnp.arange(E))
+        return traj, n_edges * Km1, n_edges
+
+    return jax.vmap(one)(found, goal_cell, parent, prim, start)
 
 
 @_functools.lru_cache(maxsize=32)
