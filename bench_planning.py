@@ -58,7 +58,7 @@ def main():
 
     t0 = time.time()
     trajs, stats = plan_courses_batch(scenarios, geom, planner="device")
-    compile_s = time.time() - t0
+    first_call_s = time.time() - t0
 
     costs = np.asarray(stats["device_costs"])
     in_band = 0
@@ -81,7 +81,10 @@ def main():
         "unit": "plans/s/chip",
         "batch": BATCH,
         "iter_time_s": round(dt, 3),
-        "compile_s": round(compile_s, 1),
+        "first_call_s": round(first_call_s, 1),
+        "first_call_note": ("includes the uncontrollable server-side "
+                            "first-execution tunnel tax (NOTES.md cold-start "
+                            "table); steady state is iter_time_s"),
         "cost_band_hit_rate": round(in_band / BATCH, 4),
         "n_host_fallback": int(stats["n_host_fallback"]),
         "device": str(jax.devices()[0]),

@@ -505,12 +505,14 @@ def plan_courses_device(
 
     if cfg is None:
         if engine in ("astar", "astar_interpret"):
-            # the serial kernel holds the whole grid in VMEM; theta=48 bins
-            # recovers exact host-cost parity on every junction config
-            # (theta=32's coarser merge wins/loses ~9% on some left turns).
-            # Guard the ~13.5 MB VMEM budget (6 grid arrays + inputs).
-            cfg = WavefrontConfig.for_scenarios(scenarios, ntheta=48)
-            if cfg.n_cells * 24 > 13.5e6:
+            # the serial kernel holds the whole grid in VMEM; theta=40 bins
+            # give host-cost-parity-or-better on every junction config
+            # (theta=32's coarser merge loses ~9% on some left turns;
+            # theta=48 hits the 16 MB scoped-VMEM ceiling on device).
+            # Budget: 5 f32 scratch arrays (20 B/cell) + the double-buffered
+            # i32 parent/prim output block (8 B/cell) against 16 MB VMEM.
+            cfg = WavefrontConfig.for_scenarios(scenarios, ntheta=40)
+            if cfg.n_cells * 28 > 12.0e6:
                 cfg = WavefrontConfig.for_scenarios(scenarios, ntheta=32)
         else:
             cfg = WavefrontConfig.for_scenarios(scenarios)
