@@ -334,7 +334,10 @@ def _solve_box_qp_batched_impl(
     P, q, G, lo, hi, rounds, iters, rho0, sigma, alpha,
     polish, use_pallas, interpret,
 ) -> QPSolution:
-    from ..ops.admm_pallas import LANES, admm_iterations_pallas
+    from ..ops.admm_pallas import (
+        LANES,
+        admm_round_full_pallas,
+    )
 
     B, n = q.shape
     m = lo.shape[1]
@@ -360,35 +363,58 @@ def _solve_box_qp_batched_impl(
 
     def round_body(carry, _):
         x, z, y, rho = carry
+
+        if use_pallas:
+            # ONE launch: factorization (lanes Cholesky + explicit inverse),
+            # all inner iterations, and residuals — the XLA batched
+            # Cholesky/cho_solve alternative was 31% of the controller tick
+            # (PROFILE.md §2, HBM-bound on this device)
+            def padd(a):
+                return jnp.concatenate([a, a[-pad:]], axis=0) if pad else a
+
+            xp, zp, yp, prim_p, dual_p, (sGx, sz, sPx, sq) = (
+                admm_round_full_pallas(
+                    padd(Ps), padd(Gs), padd(qs), padd(los), padd(his),
+                    padd(rho), padd(x), padd(z), padd(y),
+                    iters, sigma, alpha, interpret=interpret,
+                )
+            )
+            x = xp[:B].astype(dtype)
+            z = zp[:B].astype(dtype)
+            y = yp[:B].astype(dtype)
+            prim = prim_p[:B].astype(dtype)
+            dual = dual_p[:B].astype(dtype)
+            prim_rel = prim / jnp.maximum(
+                jnp.maximum(sGx[:B], sz[:B]).astype(dtype), 1e-6
+            )
+            dual_rel = dual / jnp.maximum(
+                jnp.maximum(sPx[:B], sq[:B]).astype(dtype), 1e-6
+            )
+            rho_n = jnp.clip(
+                rho * jnp.sqrt((prim_rel + 1e-12) / (dual_rel + 1e-12)),
+                1e-6, 1e6,
+            )
+            return (x, z, y, rho_n), (prim, dual)
+
+        # XLA fallback path (non-TPU backends)
         GtG = jnp.einsum("bmn,bmk->bnk", Gs, Gs)
         M = Ps + sigma * eye[None] + rho[:, None, None] * GtG
         L = jnp.linalg.cholesky(M)
         Minv = jax.scipy.linalg.cho_solve((L, True), jnp.broadcast_to(eye, (B, n, n)))
 
-        if use_pallas:
-            def padd(a):
-                return jnp.concatenate([a, a[-pad:]], axis=0) if pad else a
+        def it(carry, _):
+            x, z, y = carry
+            t = rho[:, None] * z - y
+            rhs = sigma * x - qs + jnp.einsum("bmn,bm->bn", Gs, t)
+            xt = jnp.einsum("bnk,bk->bn", Minv, rhs)
+            Gxt = jnp.einsum("bmn,bn->bm", Gs, xt)
+            xn = alpha * xt + (1 - alpha) * x
+            zt = alpha * Gxt + (1 - alpha) * z
+            zn = jnp.clip(zt + y / rho[:, None], los, his)
+            yn = y + rho[:, None] * (zt - zn)
+            return (xn, zn, yn), None
 
-            xp, zp, yp = admm_iterations_pallas(
-                padd(Minv), padd(Gs), padd(qs), padd(los), padd(his),
-                padd(rho), padd(x), padd(z), padd(y),
-                iters, sigma, alpha, interpret=interpret,
-            )
-            x, z, y = xp[:B].astype(dtype), zp[:B].astype(dtype), yp[:B].astype(dtype)
-        else:
-            def it(carry, _):
-                x, z, y = carry
-                t = rho[:, None] * z - y
-                rhs = sigma * x - qs + jnp.einsum("bmn,bm->bn", Gs, t)
-                xt = jnp.einsum("bnk,bk->bn", Minv, rhs)
-                Gxt = jnp.einsum("bmn,bn->bm", Gs, xt)
-                xn = alpha * xt + (1 - alpha) * x
-                zt = alpha * Gxt + (1 - alpha) * z
-                zn = jnp.clip(zt + y / rho[:, None], los, his)
-                yn = y + rho[:, None] * (zt - zn)
-                return (xn, zn, yn), None
-
-            (x, z, y), _ = jax.lax.scan(it, (x, z, y), None, length=iters)
+        (x, z, y), _ = jax.lax.scan(it, (x, z, y), None, length=iters)
 
         # residuals + rho adaptation (per scenario)
         Gx = jnp.einsum("bmn,bn->bm", Gs, x)
