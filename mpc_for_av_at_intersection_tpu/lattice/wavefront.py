@@ -514,6 +514,13 @@ def plan_courses_device(
             cfg = WavefrontConfig.for_scenarios(scenarios, ntheta=40)
             if cfg.n_cells * 28 > 12.0e6:
                 cfg = WavefrontConfig.for_scenarios(scenarios, ntheta=32)
+                if cfg.n_cells * 28 > 12.0e6:
+                    # even the 32-bin grid exceeds the scoped-VMEM budget —
+                    # fail over to the (slower, HBM-resident) beam engine
+                    # rather than dying at Mosaic compile time with an
+                    # opaque OOM (ADVICE r3 #3)
+                    engine = "beam"
+                    cfg = WavefrontConfig.for_scenarios(scenarios)
         else:
             cfg = WavefrontConfig.for_scenarios(scenarios)
 
@@ -554,13 +561,13 @@ def _astar_courses(arrs, geom, w, cfg, dtype, interpret, max_expansions):
     )
     points = jnp.asarray(prims.points, dtype)
     start = jnp.asarray(arrs.start, dtype)
-    traj, n_points, n_edges = _backtrack_replay_batch(
+    traj, n_points, n_edges, ok = _backtrack_replay_batch(
         res.found, res.goal_cell, res.parent, res.prim, start, points,
         cfg.max_edges,
     )
-    cost = jnp.where(res.found, res.cost, jnp.inf)
+    cost = jnp.where(ok, res.cost, jnp.inf)
     return WavefrontResult(
-        found=res.found, cost=cost, trajectory=traj, n_points=n_points,
+        found=ok, cost=cost, trajectory=traj, n_points=n_points,
         n_edges=n_edges, oob=res.oob,
     )
 
@@ -586,10 +593,15 @@ def _backtrack_replay_batch(found, goal_cell, parent, prim, start, points, E):
 
         seq0 = jnp.full((E,), -1, jnp.int32)
         cell0 = jnp.where(found_b, gcell_b, -1)
-        (_, k_rev, seq_rev), _ = jax.lax.scan(
+        (cell_f, k_rev, seq_rev), _ = jax.lax.scan(
             back, (cell0, jnp.asarray(0, jnp.int32), seq0), None, length=E
         )
-        n_edges = jnp.where(found_b, k_rev, 0)
+        # the serial-A* kernel's max_expansions permits paths deeper than
+        # E = cfg.max_edges; if the chain did not reach the start sentinel
+        # (-1) within E steps the replay would be a silently-corrupted
+        # prefix — mark the scenario unsolved instead (ADVICE r3 #1)
+        complete = cell_f < 0
+        n_edges = jnp.where(found_b & complete, k_rev, 0)
         idx = jnp.clip(n_edges - 1 - jnp.arange(E), 0, E - 1)
         seq_fwd = jnp.where(jnp.arange(E) < n_edges, seq_rev[idx], -1)
 
@@ -619,7 +631,7 @@ def _backtrack_replay_batch(found, goal_cell, parent, prim, start, points, E):
 
         out0 = jnp.zeros((E * Km1 + 1, 3), start_b.dtype)
         (_, traj), _ = jax.lax.scan(replay, (start_b, out0), jnp.arange(E))
-        return traj, n_edges * Km1, n_edges
+        return traj, n_edges * Km1, n_edges, found_b & complete
 
     return jax.vmap(one)(found, goal_cell, parent, prim, start)
 

@@ -336,7 +336,7 @@ def _solve_box_qp_batched_impl(
 ) -> QPSolution:
     from ..ops.admm_pallas import (
         LANES,
-        admm_round_full_pallas,
+        admm_all_rounds_pallas,
     )
 
     B, n = q.shape
@@ -361,40 +361,34 @@ def _solve_box_qp_batched_impl(
 
     eye = jnp.eye(n, dtype=dtype)
 
+    if use_pallas:
+        # the ENTIRE ADMM phase — every round's factorization (lanes
+        # Cholesky + explicit inverse), inner iterations, residuals, and
+        # the rho rule — as ONE Pallas launch: P/G stream from HBM once
+        # instead of once per round (137 MB/round at B=4096, PROFILE_r03)
+        def padd(a):
+            return jnp.concatenate([a, a[-pad:]], axis=0) if pad else a
+
+        xp, zp, yp, prim_p, dual_p = admm_all_rounds_pallas(
+            padd(Ps), padd(Gs), padd(qs), padd(los), padd(his),
+            padd(rho), padd(x), padd(z), padd(y),
+            rounds, iters, sigma, alpha, interpret=interpret,
+        )
+        x = xp[:B].astype(dtype)
+        z = zp[:B].astype(dtype)
+        y = yp[:B].astype(dtype)
+        prim = prim_p[:B].astype(dtype)
+        dual = dual_p[:B].astype(dtype)
+        # unscale
+        x = d * x
+        y = (e * y) / c[:, None]
+        return _finish_batched(
+            P, q, G, lo, hi, x, y, prim, dual, polish,
+            use_pallas, interpret, pad, dtype,
+        )
+
     def round_body(carry, _):
         x, z, y, rho = carry
-
-        if use_pallas:
-            # ONE launch: factorization (lanes Cholesky + explicit inverse),
-            # all inner iterations, and residuals — the XLA batched
-            # Cholesky/cho_solve alternative was 31% of the controller tick
-            # (PROFILE.md §2, HBM-bound on this device)
-            def padd(a):
-                return jnp.concatenate([a, a[-pad:]], axis=0) if pad else a
-
-            xp, zp, yp, prim_p, dual_p, (sGx, sz, sPx, sq) = (
-                admm_round_full_pallas(
-                    padd(Ps), padd(Gs), padd(qs), padd(los), padd(his),
-                    padd(rho), padd(x), padd(z), padd(y),
-                    iters, sigma, alpha, interpret=interpret,
-                )
-            )
-            x = xp[:B].astype(dtype)
-            z = zp[:B].astype(dtype)
-            y = yp[:B].astype(dtype)
-            prim = prim_p[:B].astype(dtype)
-            dual = dual_p[:B].astype(dtype)
-            prim_rel = prim / jnp.maximum(
-                jnp.maximum(sGx[:B], sz[:B]).astype(dtype), 1e-6
-            )
-            dual_rel = dual / jnp.maximum(
-                jnp.maximum(sPx[:B], sq[:B]).astype(dtype), 1e-6
-            )
-            rho_n = jnp.clip(
-                rho * jnp.sqrt((prim_rel + 1e-12) / (dual_rel + 1e-12)),
-                1e-6, 1e6,
-            )
-            return (x, z, y, rho_n), (prim, dual)
 
         # XLA fallback path (non-TPU backends)
         GtG = jnp.einsum("bmn,bmk->bnk", Gs, Gs)
@@ -443,6 +437,36 @@ def _solve_box_qp_batched_impl(
     # unscale
     x = d * x
     y = (e * y) / c[:, None]
+
+    return _finish_batched(
+        P, q, G, lo, hi, x, y, prim, dual, polish,
+        use_pallas, interpret, pad, dtype,
+    )
+
+
+def _finish_batched(P, q, G, lo, hi, x, y, prim, dual, polish,
+                    use_pallas, interpret, pad, dtype):
+    """Polish dispatch shared by the Pallas and XLA batched paths."""
+    B = q.shape[0]
+
+    if polish and use_pallas:
+        # the whole two-attempt polish + select as ONE Pallas launch — the
+        # XLA version was 46% of the controller tick (PROFILE.md §2),
+        # dominated by batched (B, m, m) Cholesky + Gram HBM round-trips
+        from ..ops.admm_pallas import polish_select_pallas
+
+        def padp(a):
+            return jnp.concatenate([a, a[-pad:]], axis=0) if pad else a
+
+        xp, yp, ok, prim_out = polish_select_pallas(
+            padp(P), padp(q), padp(G), padp(lo), padp(hi),
+            padp(x), padp(y), padp(prim), act_tol_rel=1e-4,
+            interpret=interpret,
+        )
+        return QPSolution(
+            xp[:B].astype(dtype), yp[:B].astype(dtype), ok[:B],
+            prim_out[:B].astype(dtype), dual,
+        )
 
     def finish(P, q, G, lo, hi, x, y, prim, dual):
         if not polish:

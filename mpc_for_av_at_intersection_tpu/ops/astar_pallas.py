@@ -390,6 +390,13 @@ def astar_search_batch(
     B = start.shape[0]
     O, H, _ = np.shape(halfplanes)[1:]
     P, C, _ = prims.cc.shape
+    # parent/prim packing pp = parent_cell * PP_SHIFT + prim silently
+    # corrupts backtracking if the primitive family ever grows past the
+    # shift base (ADVICE r3 #2)
+    assert P < PP_SHIFT, (
+        f"primitive count {P} >= PP_SHIFT={PP_SHIFT}: widen PP_SHIFT "
+        "(next power of two >= P) before using this kernel"
+    )
     N = cfg.n_cells
     R = _round_up(N, 128) // 128
     f32 = jnp.float32
