@@ -44,13 +44,24 @@ def main():
     t_build = time.time() - t0
     wb, sb = stack_worlds(worlds), stack_states(states)
 
+    fast = jax.default_backend() == "tpu"
+    # warm run (compile + the 1-10 min server-side first-exec tax through
+    # the tunnel, NOTES.md); the timed bracket below measures steady state —
+    # round-3's artifact bracketed the first execution and published an 84x
+    # misleading ticks/s (VERDICT r3 weak #3)
     t0 = time.time()
     final, tel, summary = run_batch_episodes(
-        wb, sb, EngineConfig(), geom, N_STEPS,
-        fast=jax.default_backend() == "tpu",
+        wb, sb, EngineConfig(), geom, N_STEPS, fast=fast,
     )
     # int() is a real value fetch: block_until_ready can return early
     # through the remote-TPU tunnel, so the fetch must be inside the bracket
+    n_unsolved = int(summary["n_unsolved_ticks"])
+    t_first = time.time() - t0
+
+    t0 = time.time()
+    final, tel, summary = run_batch_episodes(
+        wb, sb, EngineConfig(), geom, N_STEPS, fast=fast,
+    )
     n_unsolved = int(summary["n_unsolved_ticks"])
     t_run = time.time() - t0
 
@@ -63,6 +74,7 @@ def main():
         "n_scenarios": N_SCENARIOS,
         "n_done": int(summary["n_done"]),
         "build_s": round(t_build, 1),
+        "first_run_s": round(t_first, 1),
         "run_s": round(t_run, 1),
         "scenario_ticks_per_s": round(n_ticks / t_run, 1),
         "device": str(jax.devices()[0]),

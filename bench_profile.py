@@ -7,15 +7,17 @@ serialization; one dispatch + one terminal fetch amortizes the tunnel), and
 wall/K gives that stage's device time. Stages sum to ~the full controller
 tick, which is measured the same way as a cross-check.
 
-Stages (mpc/batch.py pipeline at B=4096, T=20, n=2T=40, m=4T-1=79):
+Stages (mpc/batch.py pipeline at B=4096, T=20, n=2T=40, m=4T-1=79; round-4
+fused-kernel structure):
   reference   velocity-lookahead reference indexing (vmap compute_reference)
   lin_cond    nonlinear rollout + linearization + condensing (MXU matmuls)
   ruiz        Ruiz equilibration of (P, q, G)
-  factor      M = P + sigma I + rho G'G; Cholesky; explicit inverse (x3 rounds)
-  admm        the fused Pallas VPU kernel, 170 iterations (x3 rounds)
-  resid       per-round residuals + rho adaptation (x3 rounds)
-  polish      active-set polish + accept/select
-  epilogue    state reconstruction einsums + controller-state update
+  admm_all    ONE Pallas launch: all rounds' factorization (lanes Cholesky
+              + explicit inverse), 170 iterations/round, residuals, and the
+              in-kernel rho rule
+  polish      ONE Pallas launch: two-attempt active-set polish + select
+  (factor_1round / admm_1round / resid_1round are kept as micro-probes of
+  the pre-fusion structure for roofline comparison)
 
 Prints one JSON object; pass a path to persist (the PROFILE_r0N.json
 artifact).
@@ -270,22 +272,64 @@ def main():
     z_ = jnp.zeros((B, m), dtype)
     t_resid1 = timed("resid_1round", resid_chain, Ps, Gs, qs, x_, z_, z_, rho)
 
-    # ---- stage: polish ----
-    @jax.jit
-    def polish_chain(P, q, G, lo, hi, x, y):
-        def body(x_, _):
-            sol = jax.vmap(
-                lambda p_, q_, g_, l_, h_, xx, yy: _polish_and_select(
-                    p_, q_, g_, l_, h_, xx, yy,
-                    jnp.max(jnp.abs(g_ @ xx - jnp.clip(g_ @ xx, l_, h_))),
-                    jnp.asarray(0.0, dtype), 1e-4)
-            )(P, q, G, lo, hi, x_, y)
-            return x_ + eps * sol.x, ()
-        xf, _ = jax.lax.scan(body, x, None, length=K)
-        return xf
+    # ---- stage: the fused all-rounds kernel (one launch, rho in-kernel) ----
+    if use_pallas:
+        from mpc_for_av_at_intersection_tpu.ops.admm_pallas import (
+            admm_all_rounds_pallas,
+            polish_select_pallas,
+        )
 
-    t_polish = timed("polish", polish_chain, cqp.P, cqp.q, cqp.G, cqp.lo,
-                     cqp.hi, x_, z_)
+        @jax.jit
+        def admm_all_chain(Ps_, Gs_, qs_, los_, his_, rho_, x, z, y):
+            def body(carry, _):
+                x_, z_, y_ = carry
+                xn, zn, yn, pr, du = admm_all_rounds_pallas(
+                    Ps_, Gs_, qs_, los_, his_, rho_, x_, z_, y_,
+                    cfg.admm_rounds, cfg.admm_iters, cfg.admm_sigma,
+                    cfg.admm_alpha)
+                return (xn, zn, yn), ()
+            (xf, zf, yf), _ = jax.lax.scan(
+                body, (x, z, y), None, length=K)
+            return xf
+
+        x0 = jnp.zeros((B, n), dtype)
+        z0 = jnp.zeros((B, m), dtype)
+        y0 = jnp.zeros((B, m), dtype)
+        t_admm_all = timed("admm_all", admm_all_chain, Ps, Gs, qs, los, his,
+                           rho, x0, z0, y0)
+
+        # ---- stage: the Pallas polish kernel ----
+        @jax.jit
+        def polish_k_chain(P, q, G, lo, hi, x, y):
+            def body(x_, _):
+                xp, yp, ok, pr = polish_select_pallas(
+                    P, q, G, lo, hi, x_, y, jnp.zeros((B,), dtype))
+                return x_ + eps * xp, ()
+            xf, _ = jax.lax.scan(body, x, None, length=K)
+            return xf
+
+        t_polish = timed("polish", polish_k_chain, cqp.P, cqp.q, cqp.G,
+                         cqp.lo, cqp.hi, x_, z_)
+    else:
+        t_admm_all = 0.0
+        report["admm_all_ms"] = None
+
+        # ---- stage: polish (XLA path) ----
+        @jax.jit
+        def polish_chain(P, q, G, lo, hi, x, y):
+            def body(x_, _):
+                sol = jax.vmap(
+                    lambda p_, q_, g_, l_, h_, xx, yy: _polish_and_select(
+                        p_, q_, g_, l_, h_, xx, yy,
+                        jnp.max(jnp.abs(g_ @ xx - jnp.clip(g_ @ xx, l_, h_))),
+                        jnp.asarray(0.0, dtype), 1e-4)
+                )(P, q, G, lo, hi, x_, y)
+                return x_ + eps * sol.x, ()
+            xf, _ = jax.lax.scan(body, x, None, length=K)
+            return xf
+
+        t_polish = timed("polish", polish_chain, cqp.P, cqp.q, cqp.G, cqp.lo,
+                         cqp.hi, x_, z_)
 
     # ---- stage: full batched solver (cross-check of solver stages) ----
     @jax.jit
@@ -303,8 +347,11 @@ def main():
                      cqp.lo, cqp.hi)
 
     R = cfg.admm_rounds
-    accounted = (t_ref + t_lc + t_ruiz + R * (t_factor1 + t_admm1 + t_resid1)
-                 + t_polish)
+    if use_pallas:
+        accounted = t_ref + t_lc + t_ruiz + t_admm_all + t_polish
+    else:
+        accounted = (t_ref + t_lc + t_ruiz
+                     + R * (t_factor1 + t_admm1 + t_resid1) + t_polish)
     report["accounted_ms"] = round(accounted, 2)
     report["unaccounted_ms"] = round(t_full - accounted, 2)
 

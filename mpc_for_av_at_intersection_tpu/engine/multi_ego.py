@@ -172,18 +172,9 @@ def multi_ego_tick(
     return new_st, tel
 
 
-def multi_ego_tick_batched(
-    world: MultiEgoWorld,
-    st: MultiEgoState,
-    cfg: EngineConfig,
-    geom: VehicleGeometry,
-    use_pallas: bool = True,
-    interpret: bool = False,
-):
-    """Same semantics as ``multi_ego_tick`` but the E egos' QPs are solved
-    as ONE natively batched ``mpc_step_batched`` call (the fused Pallas
-    ADMM kernel), mirroring the fleet engine's pre -> batched solve ->
-    post split. Preferred at E >= 8; equivalence covered by tests."""
+def _multi_ego_pre(world, st, cfg, geom):
+    """Per-scenario pre stage: peer + scripted prediction, per-ego
+    localization/resample/conflict-scan/cutoff (everything before the QP)."""
     dt = cfg.mpc.dt
     E = st.egos.shape[0]
     dtype = st.egos.dtype
@@ -205,7 +196,7 @@ def multi_ego_tick_batched(
     )
     active = jnp.concatenate([~eye, scripted_active], axis=1)
 
-    pre = jax.vmap(
+    return jax.vmap(
         lambda course, n, dl, goal, ego, ctrl, cut, aidx, done, act:
         ego_subtick_pre(course, n, dl, goal, ego, ctrl, cut, aidx,
                         st.first_tick, done, preds, act, cfg, geom)
@@ -213,13 +204,13 @@ def multi_ego_tick_batched(
         world.courses, world.n_courses, world.dls, world.goals_xy,
         st.egos, st.ctrls, st.cutoff_lens, st.agent_idxs, st.done, active,
     )
-    done_now, agent_idx, scan, cutoff_len, course_len_for_mpc, cv = pre
 
-    out = mpc_step_batched(
-        st.egos, world.courses, cv, course_len_for_mpc, world.dls,
-        st.ctrls, cfg.mpc, geom.wheelbase,
-        use_pallas=use_pallas, interpret=interpret,
-    )
+
+def _multi_ego_post(world, st, pre, out, cfg, geom):
+    """Per-scenario post stage: plant steps, freeze-on-done, telemetry,
+    scripted-agents step, state reassembly."""
+    dt = cfg.mpc.dt
+    done_now, agent_idx, scan, cutoff_len, _course_len, _cv = pre
 
     (egos, ctrls, cutoffs, aidxs, done_out), tel = jax.vmap(
         lambda course, ego, c, dn, ai, sc, cl, o:
@@ -243,6 +234,65 @@ def multi_ego_tick_batched(
         tick=st.tick + 1,
     )
     return new_st, tel
+
+
+def multi_ego_tick_batched(
+    world: MultiEgoWorld,
+    st: MultiEgoState,
+    cfg: EngineConfig,
+    geom: VehicleGeometry,
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """Same semantics as ``multi_ego_tick`` but the E egos' QPs are solved
+    as ONE natively batched ``mpc_step_batched`` call (the fused Pallas
+    ADMM kernel), mirroring the fleet engine's pre -> batched solve ->
+    post split. Preferred at E >= 8; equivalence covered by tests."""
+    pre = _multi_ego_pre(world, st, cfg, geom)
+    _done_now, _agent_idx, _scan, _cutoff_len, course_len_for_mpc, cv = pre
+
+    out = mpc_step_batched(
+        st.egos, world.courses, cv, course_len_for_mpc, world.dls,
+        st.ctrls, cfg.mpc, geom.wheelbase,
+        use_pallas=use_pallas, interpret=interpret,
+    )
+
+    return _multi_ego_post(world, st, pre, out, cfg, geom)
+
+
+def multi_ego_fleet_tick(
+    world: MultiEgoWorld,      # fields batched along a leading S axis
+    st: MultiEgoState,         # fields batched along a leading S axis
+    cfg: EngineConfig,
+    geom: VehicleGeometry,
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """S independent multi-ego junctions in one tick: per-scenario
+    prediction/pre/post are vmapped, and ALL S*E QPs are solved by one
+    ``mpc_step_batched`` call through the fused Pallas kernels (a vmapped
+    ``multi_ego_tick_batched`` would shatter the solver batch). This is the
+    throughput configuration of BASELINE config 4 (reference intent:
+    ``main/scenarios/interactive_mpc.py:117-190``)."""
+    S, E = st.egos.shape[:2]
+
+    pre = jax.vmap(lambda w, s: _multi_ego_pre(w, s, cfg, geom))(world, st)
+    _done_now, _agent_idx, _scan, _cutoff_len, course_len_for_mpc, cv = pre
+
+    def flat(a):
+        return a.reshape((S * E,) + a.shape[2:])
+
+    out_flat = mpc_step_batched(
+        flat(st.egos), flat(world.courses), flat(cv),
+        flat(course_len_for_mpc), flat(world.dls),
+        jax.tree.map(flat, st.ctrls), cfg.mpc, geom.wheelbase,
+        use_pallas=use_pallas, interpret=interpret,
+    )
+    out = jax.tree.map(lambda a: a.reshape((S, E) + a.shape[1:]), out_flat)
+
+    return jax.vmap(
+        lambda w, s, p, o: _multi_ego_post(w, s, p, o, cfg, geom)
+    )(world, st, pre, out)
 
 
 def run_multi_ego_episode(

@@ -507,14 +507,15 @@ def plan_courses_device(
         if engine in ("astar", "astar_interpret"):
             # the serial kernel holds the whole grid in VMEM; theta=40 bins
             # give host-cost-parity-or-better on every junction config
-            # (theta=32's coarser merge loses ~9% on some left turns;
-            # theta=48 hits the 16 MB scoped-VMEM ceiling on device).
+            # (theta=32's coarser merge loses ~9% on some left turns).
             # Budget: 5 f32 scratch arrays (20 B/cell) + the double-buffered
-            # i32 parent/prim output block (8 B/cell) against 16 MB VMEM.
+            # i32 parent/prim output block (8 B/cell) against the raised
+            # 100 MB Mosaic VMEM cap (the v5e has 128 MB physical VMEM;
+            # round 3's 16 MB default forced theta<=40).
             cfg = WavefrontConfig.for_scenarios(scenarios, ntheta=40)
-            if cfg.n_cells * 28 > 12.0e6:
+            if cfg.n_cells * 28 > 80.0e6:
                 cfg = WavefrontConfig.for_scenarios(scenarios, ntheta=32)
-                if cfg.n_cells * 28 > 12.0e6:
+                if cfg.n_cells * 28 > 80.0e6:
                     # even the 32-bin grid exceeds the scoped-VMEM budget —
                     # fail over to the (slower, HBM-resident) beam engine
                     # rather than dying at Mosaic compile time with an

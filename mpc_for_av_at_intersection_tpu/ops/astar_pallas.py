@@ -191,11 +191,11 @@ def _kernel(
     if w.c_steering:
         edge = edge + f32(w.c_steering) * jnp.abs(wrap_pi(ends_t[:]))
 
-    def body(_, dummy):
-        done = st_get(_DONE) > f32(0.5)
+    def body(carry):
+        k, _ = carry
         fmat = f_ref[:]
         m = jnp.min(fmat)
-        live = jnp.logical_not(done) & (m < INF)
+        live = m < INF
 
         @pl.when(live)
         def _():
@@ -303,9 +303,21 @@ def _kernel(
 
                 jax.lax.fori_loop(0, P, commit, 0)
 
-        return dummy
+        stop = (st_get(_DONE) > f32(0.5)) | jnp.logical_not(live)
+        return k + 1, stop
 
-    jax.lax.fori_loop(0, max_exp, body, 0)
+    # while-loop with goal-pop / open-set-exhausted exit (stop flag carried,
+    # so the cond is scalar-only): each program is fully serial, so dead
+    # iterations after the goal pops would still pay a full (R, 128)
+    # min-reduction each — on easy scenarios that wasted most of max_exp
+    # iterations (ADVICE r3 #4)
+    def loop_cond(carry):
+        k, stop = carry
+        return (k < max_exp) & jnp.logical_not(stop)
+
+    jax.lax.while_loop(
+        loop_cond, body, (jnp.asarray(0, i32), jnp.asarray(False))
+    )
 
     res_out[0] = st_ref[:]
 
@@ -364,6 +376,12 @@ def _astar_call(R, nx, ny, ntheta, cell_m, x0, y0, P, max_exp, weights,
                 pltpu.VMEM((R, 128), jnp.float32),   # pth
                 pltpu.VMEM((1, 128), jnp.float32),   # state row
             ],
+            # grids past ~theta=40 exceeded the 16 MB default scoped-VMEM
+            # budget; v5e has 128 MB physical VMEM — raise the compiler cap
+            # so denser theta grids stay available
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(hpa, hpb, hpc, hpn, valid_col, ccx, ccy, gp,
           ends_x, ends_y, ends_t, lengths, params)

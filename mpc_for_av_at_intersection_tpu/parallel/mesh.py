@@ -11,7 +11,7 @@ collectives-for-scale-out-only design of SURVEY section 5.8.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -53,6 +53,43 @@ def stack_worlds(worlds) -> WorldArrays:
 
 def stack_states(states) -> EngineState:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def _summarize(final, tel):
+    return {
+        "n_done": jnp.sum(final.done.astype(jnp.int32)),
+        "ticks_to_goal_sum": jnp.sum(final.ticks_to_goal),
+        "n_unsolved_ticks": jnp.sum((~tel.solved).astype(jnp.int32)),
+    }
+
+
+@lru_cache(maxsize=16)
+def _cached_batch_runner(cfg: EngineConfig, geom: VehicleGeometry,
+                         n_steps: int, fast: bool, use_pallas: bool):
+    """Memoized jitted single-device batch-episode program (episodes +
+    telemetry transpose + summary as ONE executable); all key parts are
+    hashable frozen dataclasses."""
+    if fast:
+        from ..engine.fleet import run_fleet_episodes
+
+        def vrun(w, s):
+            final, tel = run_fleet_episodes(
+                w, s, cfg, geom, n_steps, use_pallas=use_pallas
+            )
+            tel = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), tel)
+            return final, tel
+    else:
+        def vrun(w, s):
+            return jax.vmap(
+                lambda w_, s_: run_episode(w_, s_, cfg, geom, n_steps)
+            )(w, s)
+
+    @jax.jit
+    def run(w, s):
+        final, tel = vrun(w, s)
+        return final, tel, _summarize(final, tel)
+
+    return run
 
 
 def run_batch_episodes(
@@ -98,8 +135,16 @@ def run_batch_episodes(
         }
 
     if mesh is None:
-        final, tel = vrun(world_batch, state_batch)
-        return final, tel, summarize(final, tel)
+        # one cached jitted program for the whole batch-episode run:
+        # without this every call re-traced the n_steps scan and dispatched
+        # the epilogue op-by-op (~2s of host overhead per fleet run —
+        # measured as most of the gap between the raw 40 ms fleet tick and
+        # bench.py's episode-bracket throughput)
+        runner = _cached_batch_runner(
+            cfg, geom, n_steps, fast,
+            jax.default_backend() == "tpu" if fast else False,
+        )
+        return runner(world_batch, state_batch)
 
     # the scenario batch axis shards over EVERY mesh axis flattened — a 1-D
     # ('batch',) mesh and the 2-axis ('hosts', 'chips') topology run the

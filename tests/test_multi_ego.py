@@ -118,3 +118,47 @@ def test_batched_tick_matches_vmapped_tick():
         np.testing.assert_allclose(
             np.asarray(tel_b.accel), np.asarray(tel_a.accel), atol=2e-3
         )
+
+
+def test_fleet_tick_matches_batched_tick():
+    """multi_ego_fleet_tick over S stacked junction instances must evolve
+    each exactly like the per-scenario batched tick."""
+    from mpc_for_av_at_intersection_tpu.engine.multi_ego import (
+        multi_ego_fleet_tick,
+        multi_ego_tick_batched,
+    )
+
+    geom = bicycle_geometry()
+    table = primitive_table(geom)
+    trajs = [
+        _course(geom, table, start_pos=1, turn=2),
+        _course(geom, table, start_pos=4, turn=1),
+    ]
+    cfg = EngineConfig()
+    params, ag = stack_agents([], n_slots=cfg.n_agents)
+    world = make_multi_ego_world(trajs, params, cfg)
+    st = init_multi_ego_state(world, ag, cfg, 12)
+
+    S = 3
+    worldS = jax.tree.map(
+        lambda a: jax.numpy.broadcast_to(a, (S,) + a.shape), world)
+    stS = jax.tree.map(
+        lambda a: jax.numpy.broadcast_to(a, (S,) + a.shape), st)
+
+    tick1 = jax.jit(
+        lambda s: multi_ego_tick_batched(world, s, cfg, geom, use_pallas=False)
+    )
+    tickS = jax.jit(
+        lambda w, s: multi_ego_fleet_tick(w, s, cfg, geom, use_pallas=False)
+    )
+    for _ in range(6):
+        st, tel1 = tick1(st)
+        stS, telS = tickS(worldS, stS)
+        for s_i in range(S):
+            np.testing.assert_allclose(
+                np.asarray(stS.egos)[s_i], np.asarray(st.egos), atol=2e-4
+            )
+        np.testing.assert_allclose(
+            np.asarray(telS.accel)[0], np.asarray(tel1.accel), atol=2e-3
+        )
+        assert np.array_equal(np.asarray(stS.done)[0], np.asarray(st.done))
