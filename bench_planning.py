@@ -41,7 +41,7 @@ def main():
 
     # all 12 feasible (start, turn) junction configs, tiled to the batch
     keys = [(s, t) for s in (1, 2, 3, 4) for t in (1, 2, 3)]
-    BATCH = 60
+    BATCH = 132     # 11 x the 12 junction configs (VERDICT r4: batch >= 128)
     scenarios = [
         intersection(turn_indicator=t, start_pos=s)
         for (s, t) in (keys * ((BATCH + len(keys) - 1) // len(keys)))[:BATCH]

@@ -62,18 +62,30 @@ def mpc_step_batched(
         )(states, courses, course_speeds, valid_lens, dls, target_idx, ov, have_ov)
         xref, target_idx, reaches_end = ref
 
-        controls = jnp.stack([oa, od], axis=-1)                  # (B, T, 2)
-        xbar = jax.vmap(
-            lambda s, u: plant_rollout(s, u, cfg.dt, wheelbase, limits)
-        )(states, controls)
-        dref = jnp.zeros((B, T), dtype)
-        A, B_, C = jax.vmap(
-            lambda v, p, d: linearize_bicycle(v, p, d, cfg.dt, wheelbase, nx=nx)
-        )(xbar[:, :-1, 2], xbar[:, :-1, 3], dref)
+        if use_pallas and not cfg.jerk:
+            # fused rollout + linearize + condense kernel: the XLA version
+            # of this stage (two T-step scans + small batched matmuls) was
+            # 66.8 ms of the 80 ms controller tick at B=4096 (PROFILE_r04)
+            from ..ops.condense_pallas import build_qp_pallas
 
-        cqp = jax.vmap(lambda a, b, c, s, r, e: _condense(a, b, c, s, r, e, cfg))(
-            A, B_, C, states, xref, reaches_end
-        )
+            cqp = build_qp_pallas(
+                states, oa, od, xref, reaches_end, cfg, wheelbase,
+                interpret=interpret,
+            )
+        else:
+            controls = jnp.stack([oa, od], axis=-1)              # (B, T, 2)
+            xbar = jax.vmap(
+                lambda s, u: plant_rollout(s, u, cfg.dt, wheelbase, limits)
+            )(states, controls)
+            dref = jnp.zeros((B, T), dtype)
+            A, B_, C = jax.vmap(
+                lambda v, p, d: linearize_bicycle(v, p, d, cfg.dt, wheelbase,
+                                                  nx=nx)
+            )(xbar[:, :-1, 2], xbar[:, :-1, 3], dref)
+
+            cqp = jax.vmap(
+                lambda a, b, c, s, r, e: _condense(a, b, c, s, r, e, cfg)
+            )(A, B_, C, states, xref, reaches_end)
         sol = solve_box_qp_batched(
             cqp.P, cqp.q, cqp.G, cqp.lo, cqp.hi,
             rounds=cfg.admm_rounds, iters=cfg.admm_iters,

@@ -367,7 +367,10 @@ def _solve_box_qp_batched_impl(
         # the rho rule — as ONE Pallas launch: P/G stream from HBM once
         # instead of once per round (137 MB/round at B=4096, PROFILE_r03)
         def padd(a):
-            return jnp.concatenate([a, a[-pad:]], axis=0) if pad else a
+            # repeat the last row: works for any pad, including pad > B
+            # (e.g. an 8-ego multi-ego tick on the 128-lane kernel)
+            return (jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], 0)
+                    if pad else a)
 
         xp, zp, yp, prim_p, dual_p = admm_all_rounds_pallas(
             padd(Ps), padd(Gs), padd(qs), padd(los), padd(his),
@@ -456,7 +459,8 @@ def _finish_batched(P, q, G, lo, hi, x, y, prim, dual, polish,
         from ..ops.admm_pallas import polish_select_pallas
 
         def padp(a):
-            return jnp.concatenate([a, a[-pad:]], axis=0) if pad else a
+            return (jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], 0)
+                    if pad else a)
 
         xp, yp, ok, prim_out = polish_select_pallas(
             padp(P), padp(q), padp(G), padp(lo), padp(hi),

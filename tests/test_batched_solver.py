@@ -67,6 +67,18 @@ def test_batched_pad_path():
     _assert_solutions_match(a, b)
 
 
+def test_batched_pad_smaller_than_lanes():
+    """B < 128 (e.g. an 8-ego multi-ego tick) must pad up to one full lane
+    block — the round-4 regression was padding with a[-pad:] when pad > B."""
+    rng = np.random.default_rng(6)
+    P, q, G, lo, hi = _random_batch(rng, 8, 6, 9)
+    a = solve_box_qp_batched(P, q, G, lo, hi, rounds=4, iters=30, use_pallas=False)
+    b = solve_box_qp_batched(
+        P, q, G, lo, hi, rounds=4, iters=30, use_pallas=True, interpret=True
+    )
+    _assert_solutions_match(a, b)
+
+
 def test_batched_mpc_step_matches_vmapped_mpc_step():
     from mpc_for_av_at_intersection_tpu.core.angles import smooth_yaw_numpy
     from mpc_for_av_at_intersection_tpu.models import bicycle_geometry
