@@ -8,16 +8,17 @@ wall/K gives that stage's device time. Stages sum to ~the full controller
 tick, which is measured the same way as a cross-check.
 
 Stages (mpc/batch.py pipeline at B=4096, T=20, n=2T=40, m=4T-1=79; round-4
-fused-kernel structure):
-  reference   velocity-lookahead reference indexing (vmap compute_reference)
-  lin_cond    nonlinear rollout + linearization + condensing (MXU matmuls)
-  ruiz        Ruiz equilibration of (P, q, G)
-  admm_all    ONE Pallas launch: all rounds' factorization (lanes Cholesky
-              + explicit inverse), 170 iterations/round, residuals, and the
-              in-kernel rho rule
-  polish      ONE Pallas launch: two-attempt active-set polish + select
-  (factor_1round / admm_1round / resid_1round are kept as micro-probes of
-  the pre-fusion structure for roofline comparison)
+lanes-resident structure — the production tick is reference -> condense
+kernel -> ruiz_admm kernel -> polish kernel -> epilogue):
+  reference     velocity-lookahead reference indexing (vmap compute_reference)
+  condense_k    fused rollout + linearize + condense Pallas kernel
+  ruiz_admm     ONE Pallas launch: in-kernel Ruiz + all rounds'
+                factorization (lanes Cholesky + explicit inverse),
+                170 iterations/round, residuals, in-kernel rho rule
+  polish        ONE Pallas launch: two-attempt active-set polish + select
+  (lin_cond / ruiz / factor_1round / admm_1round / resid_1round are the
+  replaced XLA stages, kept as micro-probes for comparison; admm_all is
+  the round-4a kernel without in-kernel Ruiz)
 
 Prints one JSON object; pass a path to persist (the PROFILE_r0N.json
 artifact).
@@ -310,6 +311,56 @@ def main():
 
         t_polish = timed("polish", polish_k_chain, cqp.P, cqp.q, cqp.G,
                          cqp.lo, cqp.hi, x_, z_)
+
+        # ---- stage: the fused condense kernel ----
+        from mpc_for_av_at_intersection_tpu.ops.condense_pallas import (
+            build_qp_pallas,
+        )
+
+        oa0 = jnp.zeros((B, T), dtype)
+        od0 = jnp.zeros((B, T), dtype)
+        xref0 = jnp.zeros((B, 4, T + 1), dtype)
+        re0 = jnp.zeros((B, T + 1), bool)
+
+        @jax.jit
+        def condense_k_chain(s, oa_):
+            def body(o, _):
+                out = build_qp_pallas(s, o, od0, xref0, re0, cfg,
+                                      geom.wheelbase, lanes_out=True)
+                probe = out.q_l.reshape(-1)[0]
+                return o + eps * probe, ()
+            of, _ = jax.lax.scan(body, oa_, None, length=K)
+            return of
+
+        t_cond = timed("condense_k", condense_k_chain, states, oa0)
+
+        # ---- stage: the lanes ruiz+admm kernel ----
+        from mpc_for_av_at_intersection_tpu.ops.admm_pallas import (
+            ruiz_admm_all_rounds_pallas,
+        )
+
+        lq = jax.jit(
+            lambda s, o: build_qp_pallas(s, o, od0, xref0, re0, cfg,
+                                         geom.wheelbase, lanes_out=True)
+        )(states, oa0)
+        P_l = lq.P_l.block_until_ready()
+
+        @jax.jit
+        def ruiz_admm_chain(P_l_, G_l_, q_l_, lo_l_, hi_l_):
+            Bt_ = q_l_.shape[0]
+
+            def body(q_in, _):
+                x, y, pr, du = ruiz_admm_all_rounds_pallas(
+                    P_l_, G_l_, q_in, lo_l_, hi_l_,
+                    cfg.admm_rounds, cfg.admm_iters, cfg.admm_rho,
+                    cfg.admm_sigma, cfg.admm_alpha)
+                xl = x.reshape(Bt_, 128, n).transpose(0, 2, 1)
+                return q_in + eps * xl, ()
+            qf, _ = jax.lax.scan(body, q_l_, None, length=K)
+            return qf
+
+        t_ruiz_admm = timed("ruiz_admm", ruiz_admm_chain, P_l, lq.G_l,
+                            lq.q_l, lq.lo_l, lq.hi_l)
     else:
         t_admm_all = 0.0
         report["admm_all_ms"] = None
@@ -348,7 +399,7 @@ def main():
 
     R = cfg.admm_rounds
     if use_pallas:
-        accounted = t_ref + t_lc + t_ruiz + t_admm_all + t_polish
+        accounted = t_ref + t_cond + t_ruiz_admm + t_polish
     else:
         accounted = (t_ref + t_lc + t_ruiz
                      + R * (t_factor1 + t_admm1 + t_resid1) + t_polish)

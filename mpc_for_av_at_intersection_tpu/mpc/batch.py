@@ -65,12 +65,15 @@ def mpc_step_batched(
         if use_pallas and not cfg.jerk:
             # fused rollout + linearize + condense kernel: the XLA version
             # of this stage (two T-step scans + small batched matmuls) was
-            # 66.8 ms of the 80 ms controller tick at B=4096 (PROFILE_r04)
+            # 66.8 ms of the 80 ms controller tick at B=4096 (PROFILE_r04).
+            # With polish on (every shipped config), the QP tensors stay in
+            # the kernel-native lanes layout end-to-end: condense -> Ruiz +
+            # ADMM (in-kernel) -> polish, no (B, ...) transposes between.
             from ..ops.condense_pallas import build_qp_pallas
 
             cqp = build_qp_pallas(
                 states, oa, od, xref, reaches_end, cfg, wheelbase,
-                interpret=interpret,
+                interpret=interpret, lanes_out=cfg.polish,
             )
         else:
             controls = jnp.stack([oa, od], axis=-1)              # (B, T, 2)
@@ -86,12 +89,24 @@ def mpc_step_batched(
             cqp = jax.vmap(
                 lambda a, b, c, s, r, e: _condense(a, b, c, s, r, e, cfg)
             )(A, B_, C, states, xref, reaches_end)
-        sol = solve_box_qp_batched(
-            cqp.P, cqp.q, cqp.G, cqp.lo, cqp.hi,
-            rounds=cfg.admm_rounds, iters=cfg.admm_iters,
-            rho0=cfg.admm_rho, sigma=cfg.admm_sigma, alpha=cfg.admm_alpha,
-            polish=cfg.polish, use_pallas=use_pallas, interpret=interpret,
-        )
+        from ..ops.condense_pallas import LanesQP
+
+        if isinstance(cqp, LanesQP):
+            from .qp import solve_box_qp_lanes
+
+            sol = solve_box_qp_lanes(
+                cqp.P_l, cqp.q_l, cqp.G_l, cqp.lo_l, cqp.hi_l, cqp.B0,
+                rounds=cfg.admm_rounds, iters=cfg.admm_iters,
+                rho0=cfg.admm_rho, sigma=cfg.admm_sigma,
+                alpha=cfg.admm_alpha, interpret=interpret,
+            )
+        else:
+            sol = solve_box_qp_batched(
+                cqp.P, cqp.q, cqp.G, cqp.lo, cqp.hi,
+                rounds=cfg.admm_rounds, iters=cfg.admm_iters,
+                rho0=cfg.admm_rho, sigma=cfg.admm_sigma, alpha=cfg.admm_alpha,
+                polish=cfg.polish, use_pallas=use_pallas, interpret=interpret,
+            )
         # jerk variant: decision vector is [u_flat (2T); a0] — controls are
         # the first 2T entries either way
         u = sol.x[:, : 2 * T].reshape(B, T, 2)

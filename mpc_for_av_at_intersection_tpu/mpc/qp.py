@@ -482,6 +482,37 @@ def _finish_batched(P, q, G, lo, hi, x, y, prim, dual, polish,
     return jax.vmap(finish)(P, q, G, lo, hi, x, y, prim, dual)
 
 
+def solve_box_qp_lanes(
+    P_l, q_l, G_l, lo_l, hi_l,    # lanes layout (Bt, ..., 128), UNSCALED
+    B0: int,
+    rounds: int = 10,
+    iters: int = 50,
+    rho0: float = 0.1,
+    sigma: float = 1e-6,
+    alpha: float = 1.6,
+    interpret: bool = False,
+) -> QPSolution:
+    """Fully lanes-resident solve: in-kernel Ruiz + all ADMM rounds (one
+    launch) then the two-attempt polish (one launch), with the big QP
+    tensors never leaving the kernel-native layout. Polish is mandatory on
+    this path (it produces the reported primal residual)."""
+    from ..ops.admm_pallas import (
+        polish_select_pallas_lanes,
+        ruiz_admm_all_rounds_pallas,
+    )
+
+    with jax.default_matmul_precision("float32"):
+        x, y, prim, dual = ruiz_admm_all_rounds_pallas(
+            P_l, G_l, q_l, lo_l, hi_l, rounds, iters, rho0, sigma, alpha,
+            interpret=interpret,
+        )
+        xp, yp, ok, prim_out = polish_select_pallas_lanes(
+            P_l, G_l, q_l, lo_l, hi_l, x, y, prim, act_tol_rel=1e-4,
+            interpret=interpret,
+        )
+    return QPSolution(xp[:B0], yp[:B0], ok[:B0], prim_out[:B0], dual[:B0])
+
+
 def kkt_residuals(P, q, G, lo, hi, x, y):
     """(stationarity, primal, complementarity) inf-norm residuals — the
     correctness certificate used by tests and by the float64 oracle."""

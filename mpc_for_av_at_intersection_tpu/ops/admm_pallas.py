@@ -26,6 +26,34 @@ def pallas_supported() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _chol_inplace_panel(ref, size: int, panel: int = 8):
+    """In-place lanes-Cholesky (lower) of a (size, size, 128) VMEM ref,
+    PANELIZED: each column's trailing update touches only the static
+    trailing submatrix ref[p0:, p0:] of its panel, cutting total work from
+    3*size^3 (full masked updates) to ~size^3. Above-diagonal entries of
+    rows < p0 are left stale — every consumer masks to the lower triangle.
+    """
+    import jax.experimental.pallas as pl
+
+    for p0 in range(0, size, panel):
+        rem = size - p0
+        r_i = p0 + jax.lax.broadcasted_iota(jnp.int32, (rem, 1, 1), 0)
+        c_i = p0 + jax.lax.broadcasted_iota(jnp.int32, (1, rem, 1), 1)
+        rv_i = p0 + jax.lax.broadcasted_iota(jnp.int32, (rem, 1), 0)
+        for j in range(p0, min(p0 + panel, size)):
+            Mv = ref[pl.ds(p0, rem), pl.ds(p0, rem), :]
+            colj = jnp.sum(jnp.where(c_i == j, Mv, 0.0), axis=1)
+            diag = jnp.sum(jnp.where(rv_i == j, colj, 0.0), axis=0)
+            ljj = jnp.sqrt(jnp.maximum(diag, 1e-30))
+            lcol = jnp.where(rv_i > j, colj / ljj[None, :],
+                             jnp.where(rv_i == j, ljj[None, :], 0.0))
+            upd = lcol[:, None, :] * lcol[None, :, :]
+            live = (r_i > j) & (c_i > j)
+            Mnew = Mv - jnp.where(live, upd, 0.0)
+            ref[pl.ds(p0, rem), pl.ds(p0, rem), :] = jnp.where(
+                c_i == j, lcol[:, None, :], Mnew)
+
+
 def _kernel(n: int, m: int, iters: int, sigma: float, alpha: float,
             Minv, G, GT, q, lo, hi, rho, x0, z0, y0, xo, zo, yo):
     rho_v = rho[0, 0, :]                      # (128,)
@@ -323,47 +351,12 @@ def _multi_round_kernel(n: int, m: int, rounds: int, iters: int,
 
         jax.lax.fori_loop(0, n, build_row, 0)
 
-        # --- in-place lanes-Cholesky of M (lower) ---
-        def chol_step(j, c):
-            Mv = M_ref[:]
-            colj = jnp.sum(jnp.where(col_i == j, Mv, 0.0), axis=1)
-            diag = jnp.sum(jnp.where(rvec_i == j, colj, 0.0), axis=0)
-            ljj = jnp.sqrt(jnp.maximum(diag, 1e-30))
-            lcol = jnp.where(rvec_i > j, colj / ljj[None, :],
-                             jnp.where(rvec_i == j, ljj[None, :], 0.0))
-            upd = lcol[:, None, :] * lcol[None, :, :]
-            live = (row_i > j) & (col_i > j)
-            Mnew = Mv - jnp.where(live, upd, 0.0)
-            M_ref[:] = jnp.where(col_i == j, lcol[:, None, :], Mnew)
-            return c
+        # --- in-place lanes-Cholesky of M (lower), panelized ---
+        _chol_inplace_panel(M_ref, n)
 
-        jax.lax.fori_loop(0, n, chol_step, 0)
-
-        # --- Y = L^-1 by forward substitution ---
-        Y_ref[:] = (row_i == col_i).astype(f32) * jnp.ones((1, 1, LANES), f32)
-
-        def fsub_step(j, c):
-            Yv = Y_ref[:]
-            lrow = M_ref[pl.ds(j, 1), :, :][0]                 # (n, 128)
-            ljj = jnp.sum(jnp.where(rvec_i == j, lrow, 0.0), axis=0)
-            S = jnp.sum(
-                jnp.where(rvec_i[:, :, None] < j, lrow[:, None, :] * Yv, 0.0),
-                axis=0,
-            )
-            ej = (rvec_i == j).astype(f32)
-            Y_ref[pl.ds(j, 1)] = ((ej - S) / ljj[None, :])[None]
-            return c
-
-        jax.lax.fori_loop(0, n, fsub_step, 0)
-
-        # --- Minv = Y' Y ---
-        def minv_row(i, c):
-            Yv = Y_ref[:]
-            yrow = Y_ref[:, pl.ds(i, 1), :][:, 0, :]           # column i of Y
-            Mi_ref[pl.ds(i, 1)] = jnp.sum(yrow[:, None, :] * Yv, axis=0)[None]
-            return c
-
-        jax.lax.fori_loop(0, n, minv_row, 0)
+        # --- Y = L^-1, Minv = Y' Y (triangular-aware static slices) ---
+        _tri_inverse_fsub(M_ref, Y_ref, n)
+        _gram_from_y(Y_ref, Mi_ref, n)
 
         # --- fused iterations ---
         Minv = Mi_ref[:]
@@ -505,6 +498,256 @@ def admm_all_rounds_pallas(
     return (u_vec(xo, n), u_vec(zo, m), u_vec(yo, m), pk[:, 0], pk[:, 1])
 
 
+def _ruiz_admm_kernel(n: int, m: int, ruiz_iters: int, rounds: int,
+                      iters: int, sigma: float, alpha: float, rho0: float,
+                      P, G, q, lo, hi,
+                      xo, yo, po,
+                      Ps_ref, Gs_ref, M_ref, Y_ref, Mi_ref):
+    """Ruiz equilibration + the complete ADMM phase on UNSCALED inputs.
+
+    The modified-Ruiz recurrence (``mpc/qp.py::_ruiz_equilibrate``) runs
+    in-kernel without materializing scaled matrices: |Ps| column maxima
+    factor as c * d_j * max_i(d_i |P[i,j]|), so each iteration is two
+    broadcast-reduce passes over P and G. The scaled Ps/Gs are written to
+    VMEM scratch once at the end and the multi-round ADMM body (same
+    recurrence as ``_multi_round_kernel``) runs against them; x/y are
+    unscaled before the final store. One launch replaces XLA Ruiz (7.4 ms
+    at B=4096, PROFILE_r04) + scaling materialization + a round of layout
+    transposes."""
+    import jax.experimental.pallas as pl
+
+    f32 = jnp.float32
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    rvec_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    P0 = P[0]                                  # (n, n, 128)
+    G0 = G[0]                                  # (m, n, 128)
+    qv = q[0]
+    eps = f32(1e-8)
+
+    absP = jnp.abs(P0)
+    absG = jnp.abs(G0)
+
+    def ruiz_body(_, carry):
+        d, e, c = carry                        # (n,128), (m,128), (128,)
+        # column maxima of |Ps| and |Gs|, scale factored out
+        colP = c[None, :] * d * jnp.max(d[:, None, :] * absP, axis=0)
+        colG = d * jnp.max(e[:, None, :] * absG, axis=0)
+        col_x = jnp.maximum(colP, colG)        # (n, 128)
+        row_y = e * jnp.max(d[None, :, :] * absG, axis=1)   # (m, 128)
+        d = d / jnp.sqrt(jnp.maximum(col_x, eps))
+        e = e / jnp.sqrt(jnp.maximum(row_y, eps))
+        # cost normalization with the updated d
+        colP2 = c[None, :] * d * jnp.max(d[:, None, :] * absP, axis=0)
+        qs_abs = jnp.abs(c[None, :] * d * qv)
+        g = jnp.maximum(jnp.mean(colP2, axis=0), jnp.max(qs_abs, axis=0))
+        c = c / jnp.maximum(g, eps)
+        return d, e, c
+
+    ones_n = jnp.ones((n, LANES), f32)
+    ones_m = jnp.ones((m, LANES), f32)
+    d, e, c = jax.lax.fori_loop(
+        0, ruiz_iters, ruiz_body,
+        (ones_n, ones_m, jnp.ones((LANES,), f32)),
+    )
+
+    Ps_ref[:] = c[None, None, :] * d[:, None, :] * d[None, :, :] * P0
+    Gs_ref[:] = e[:, None, :] * d[None, :, :] * G0
+    qs = c[None, :] * d * qv
+    los = e * lo[0]
+    his = e * hi[0]
+
+    Psv = Ps_ref[:]
+    Gsv = Gs_ref[:]
+
+    def mv(Mat, v):
+        return jnp.sum(Mat * v[None, :, :], axis=1)
+
+    def mvT(Mat, w):
+        return jnp.sum(Mat * w[:, None, :], axis=0)
+
+    def round_body(carry):
+        x, z, y, rho_v = carry
+
+        def build_row(i, cc):
+            gi = Gs_ref[:, pl.ds(i, 1), :]                   # (m, 1, 128)
+            gtg_i = jnp.sum(Gsv * gi, axis=0)                # (n, 128)
+            eye_i = (rvec_i == i).astype(f32)
+            # column i of Ps == row i (symmetric)
+            prow = jnp.sum(Ps_ref[:, pl.ds(i, 1), :], axis=1)
+            M_ref[pl.ds(i, 1)] = (
+                prow + sigma * eye_i + rho_v[None, :] * gtg_i
+            )[None]
+            return cc
+
+        jax.lax.fori_loop(0, n, build_row, 0)
+
+        # panelized lanes-Cholesky (~3x less work than full masked updates;
+        # downstream reads mask to the lower triangle), then Y = L^-1 and
+        # Minv = Y'Y with triangular-aware static slices
+        _chol_inplace_panel(M_ref, n)
+        _tri_inverse_fsub(M_ref, Y_ref, n)
+        _gram_from_y(Y_ref, Mi_ref, n)
+
+        Minv = Mi_ref[:]
+
+        def it(_, cc):
+            x, z, y = cc
+            t = rho_v[None, :] * z - y
+            rhs = sigma * x - qs + mvT(Gsv, t)
+            xt = mv(Minv, rhs)
+            Gxt = mv(Gsv, xt)
+            xn = alpha * xt + (1.0 - alpha) * x
+            zt = alpha * Gxt + (1.0 - alpha) * z
+            zn = jnp.clip(zt + y / rho_v[None, :], los, his)
+            yn = y + rho_v[None, :] * (zt - zn)
+            return xn, zn, yn
+
+        x, z, y = jax.lax.fori_loop(0, iters, it, (x, z, y))
+
+        Gx = mv(Gsv, x)
+        prim = jnp.max(jnp.abs(Gx - z), axis=0)
+        Px = mv(Psv, x)
+        dual = jnp.max(jnp.abs(Px + qs + mvT(Gsv, y)), axis=0)
+        prim_rel = prim / jnp.maximum(jnp.maximum(
+            jnp.max(jnp.abs(Gx), axis=0), jnp.max(jnp.abs(z), axis=0)), 1e-6)
+        dual_rel = dual / jnp.maximum(jnp.maximum(
+            jnp.max(jnp.abs(Px), axis=0), jnp.max(jnp.abs(qs), axis=0)), 1e-6)
+        rho_n = jnp.clip(
+            rho_v * jnp.sqrt((prim_rel + 1e-12) / (dual_rel + 1e-12)),
+            1e-6, 1e6,
+        )
+        return x, z, y, rho_n, prim, dual
+
+    def outer(r, carry):
+        x, z, y, rho_v, _, _ = carry
+        x, z, y, rho_n, prim, dual = round_body((x, z, y, rho_v))
+        return x, z, y, rho_n, prim, dual
+
+    zero128 = jnp.zeros((LANES,), f32)
+    x0 = jnp.zeros((n, LANES), f32)
+    z0 = jnp.clip(jnp.zeros((m, LANES), f32), los, his)
+    y0 = jnp.zeros((m, LANES), f32)
+    x, z, y, rho_v, prim, dual = jax.lax.fori_loop(
+        0, rounds, outer,
+        (x0, z0, y0, jnp.full((LANES,), rho0, f32), zero128, zero128),
+    )
+
+    # unscale back to the original problem
+    xo[0] = d * x
+    yo[0] = (e * y) / c[None, :]
+    po[0] = jnp.stack([prim, dual], axis=0)
+
+
+def ruiz_admm_all_rounds_pallas(
+    P_l,    # (Bt, n, n, LANES) UNSCALED, lanes layout
+    G_l,    # (Bt, m, n, LANES)
+    q_l,    # (Bt, n, LANES)
+    lo_l,   # (Bt, m, LANES)
+    hi_l,   # (Bt, m, LANES)
+    rounds: int,
+    iters: int,
+    rho0: float,
+    sigma: float,
+    alpha: float,
+    ruiz_iters: int = 10,
+    interpret: bool = False,
+):
+    """Ruiz + the complete ADMM phase on lanes-layout UNSCALED inputs.
+    Returns (x (B, n), y (B, m), prim (B,), dual (B,)) with x/y already
+    unscaled to the original problem."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Bt, n = P_l.shape[0], P_l.shape[1]
+    m = G_l.shape[1]
+    B = Bt * LANES
+
+    def spec(shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda b: (b,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        spec((n, n, LANES)), spec((m, n, LANES)),
+        spec((n, LANES)), spec((m, LANES)), spec((m, LANES)),
+    ]
+    out_specs = (
+        spec((n, LANES)), spec((m, LANES)), spec((2, LANES)),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((Bt, n, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((Bt, m, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((Bt, 2, LANES), jnp.float32),
+    )
+
+    kern = functools.partial(
+        _ruiz_admm_kernel, n, m, int(ruiz_iters), int(rounds), int(iters),
+        float(sigma), float(alpha), float(rho0))
+    xo, yo, po = pl.pallas_call(
+        kern,
+        grid=(Bt,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((n, n, LANES), jnp.float32),   # Ps
+            pltpu.VMEM((m, n, LANES), jnp.float32),   # Gs
+            pltpu.VMEM((n, n, LANES), jnp.float32),   # M / L
+            pltpu.VMEM((n, n, LANES), jnp.float32),   # Y = L^-1
+            pltpu.VMEM((n, n, LANES), jnp.float32),   # Minv
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*[a.astype(jnp.float32) for a in (P_l, G_l, q_l, lo_l, hi_l)])
+
+    def u_vec(a, r):
+        return a.transpose(0, 2, 1).reshape(B, r)
+
+    pk = u_vec(po, 2)
+    return u_vec(xo, n), u_vec(yo, m), pk[:, 0], pk[:, 1]
+
+
+def _tri_inverse_fsub(L_ref, Y_ref, size: int):
+    """Y = L^-1 by forward substitution into Y_ref; row j of Y reads only
+    rows < j (static slices under Python unroll: half the masked work)."""
+    import jax.experimental.pallas as pl
+
+    f32 = jnp.float32
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (size, 1, 1), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (1, size, 1), 1)
+    rvec = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0)
+    Y_ref[:] = (row_i == col_i).astype(f32) * jnp.ones((1, 1, LANES), f32)
+    for j in range(size):
+        lrow = L_ref[pl.ds(j, 1), :, :][0]                  # (size, 128)
+        ljj = jnp.sum(jnp.where(rvec == j, lrow, 0.0), axis=0)
+        ej = (rvec == j).astype(f32)
+        if j:
+            Yv = Y_ref[pl.ds(0, j), :, :]                   # (j, size, 128)
+            # NOTE: lrow[0:j, None, :] (slice + newaxis in one step) lowers
+            # to a gather Mosaic rejects; slice first, then expand
+            lpart = jnp.expand_dims(lrow[0:j], 1)           # (j, 1, 128)
+            S = jnp.sum(lpart * Yv, axis=0)                 # (size, 128)
+            Y_ref[pl.ds(j, 1)] = ((ej - S) / ljj[None, :])[None]
+        else:
+            Y_ref[pl.ds(j, 1)] = (ej / ljj[None, :])[None]
+
+
+def _gram_from_y(Y_ref, out_ref, size: int):
+    """out = Y' Y for lower-triangular Y: row i reads only rows >= i."""
+    import jax.experimental.pallas as pl
+
+    for i in range(size):
+        rem = size - i
+        Yp = Y_ref[pl.ds(i, rem), :, :]                     # (rem, size, 128)
+        ycol = Y_ref[pl.ds(i, rem), pl.ds(i, 1), :][:, 0, :]  # (rem, 128)
+        out_ref[pl.ds(i, 1)] = jnp.sum(ycol[:, None, :] * Yp, axis=0)[None]
+
+
 def _polish_kernel(n: int, m: int, act_tol_rel: float,
                    P, G, q, lo, hi, x0, y0, prim0,
                    xo, yo, po,
@@ -545,20 +788,7 @@ def _polish_kernel(n: int, m: int, act_tol_rel: float,
         return jnp.sum(Mat * w[:, None, :], axis=0)
 
     def chol_inplace(ref, size, row_i, col_i, rvec_i):
-        """In-place lanes-Cholesky (lower); same recipe as _full_kernel."""
-        def step(j, carry):
-            Mv = ref[:]
-            colj = jnp.sum(jnp.where(col_i == j, Mv, 0.0), axis=1)
-            diag = jnp.sum(jnp.where(rvec_i == j, colj, 0.0), axis=0)
-            ljj = jnp.sqrt(jnp.maximum(diag, 1e-30))
-            lcol = jnp.where(rvec_i > j, colj / ljj[None, :],
-                             jnp.where(rvec_i == j, ljj[None, :], 0.0))
-            upd = lcol[:, None, :] * lcol[None, :, :]
-            live = (row_i > j) & (col_i > j)
-            Mnew = Mv - jnp.where(live, upd, 0.0)
-            ref[:] = jnp.where(col_i == j, lcol[:, None, :], Mnew)
-            return carry
-        jax.lax.fori_loop(0, size, step, 0)
+        _chol_inplace_panel(ref, size)
 
     def chol_solve_vec(ref, size, rvec_i, b):
         """Solve (L L') s = b for one RHS; L in ref, b/result (size, 128)."""
@@ -582,22 +812,7 @@ def _polish_kernel(n: int, m: int, act_tol_rel: float,
     # --- factor P once: Lp = chol(P), Y = Lp^-1, Vt = G Y' ---
     Lp_ref[:] = P0
     chol_inplace(Lp_ref, n, row_n, col_n, rvec_n)
-
-    Y_ref[:] = (row_n == col_n).astype(f32) * jnp.ones((1, 1, LANES), f32)
-
-    def fsub_step(j, _):
-        Yv = Y_ref[:]
-        lrow = Lp_ref[pl.ds(j, 1), :, :][0]                     # (n, 128)
-        ljj = jnp.sum(jnp.where(rvec_n == j, lrow, 0.0), axis=0)
-        S_ = jnp.sum(
-            jnp.where(rvec_n[:, :, None] < j, lrow[:, None, :] * Yv, 0.0),
-            axis=0,
-        )
-        ej = (rvec_n == j).astype(f32)
-        Y_ref[pl.ds(j, 1)] = ((ej - S_) / ljj[None, :])[None]
-        return _
-
-    jax.lax.fori_loop(0, n, fsub_step, 0)
+    _tri_inverse_fsub(Lp_ref, Y_ref, n)
 
     def pinv_apply(v):   # P^-1 v = Y' (Y v)
         Yv = Y_ref[:]
@@ -724,6 +939,43 @@ def polish_select_pallas(
         t_vec(y, m),
         prim.reshape(Bt, 1, LANES),
     )
+    return _polish_call(n, m, Bt, ins, act_tol_rel, interpret)
+
+
+def polish_select_pallas_lanes(
+    P_l,    # (Bt, n, n, LANES) UNSCALED, lanes layout
+    G_l,    # (Bt, m, n, LANES)
+    q_l,    # (Bt, n, LANES)
+    lo_l,   # (Bt, m, LANES)
+    hi_l,   # (Bt, m, LANES)
+    x,      # (B, n) unscaled ADMM primal
+    y,      # (B, m) unscaled ADMM dual
+    prim,   # (B,)
+    act_tol_rel: float = 1e-4,
+    interpret: bool = False,
+):
+    """Lanes-layout twin of ``polish_select_pallas`` — the big QP tensors
+    come straight from the lanes-layout condense/Ruiz pipeline with no
+    intermediate (B, ...) transposes; only the small x/y/prim vectors are
+    re-laid out."""
+    Bt, n = P_l.shape[0], P_l.shape[1]
+    m = G_l.shape[1]
+
+    def t_vec(a, r):
+        return a.reshape(Bt, LANES, r).transpose(0, 2, 1)
+
+    ins = (
+        P_l, G_l, q_l, lo_l, hi_l,
+        t_vec(x, n), t_vec(y, m), prim.reshape(Bt, 1, LANES),
+    )
+    return _polish_call(n, m, Bt, ins, act_tol_rel, interpret)
+
+
+def _polish_call(n, m, Bt, ins, act_tol_rel, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = Bt * LANES
 
     def spec(shape):
         return pl.BlockSpec(

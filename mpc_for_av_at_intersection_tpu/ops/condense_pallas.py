@@ -196,6 +196,20 @@ def _kernel(T: int, consts: tuple,
     hi_out[0, pl.ds(T, ms)] = hi_static * ones
 
 
+class LanesQP:
+    """Condensed QP with the big tensors kept in the kernel-native lanes
+    layout (Bt, rows, cols, 128) — fed directly to the lanes-input solver
+    kernels with zero intermediate (B, ...) transposes. F/g stay (B, ...)
+    for the XLA epilogue."""
+
+    __slots__ = ("P_l", "q_l", "G_l", "lo_l", "hi_l", "F", "g", "B0")
+
+    def __init__(self, P_l, q_l, G_l, lo_l, hi_l, F, g, B0):
+        self.P_l, self.q_l, self.G_l = P_l, q_l, G_l
+        self.lo_l, self.hi_l = lo_l, hi_l
+        self.F, self.g, self.B0 = F, g, B0
+
+
 def build_qp_pallas(
     states,        # (B, 4)
     oa,            # (B, T)
@@ -205,9 +219,11 @@ def build_qp_pallas(
     cfg,           # MPCConfig (canonical, nx=4)
     wheelbase: float,
     interpret: bool = False,
+    lanes_out: bool = False,
 ):
     """Fused rollout+linearize+condense for a batch. Returns a CondensedQP
-    with fields in the standard (B, ...) layout."""
+    with fields in the standard (B, ...) layout, or a LanesQP (big tensors
+    left in lanes layout) when ``lanes_out``."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -295,6 +311,12 @@ def build_qp_pallas(
 
     def u_mat(a, r, c):
         return a.transpose(0, 3, 1, 2).reshape(B, r, c)[:B0].astype(dtype)
+
+    if lanes_out:
+        return LanesQP(
+            P_l=P, q_l=q, G_l=G, lo_l=lo, hi_l=hi,
+            F=u_mat(F, T * nx, n), g=u_vec(g, T * nx), B0=B0,
+        )
 
     return CondensedQP(
         P=u_mat(P, n, n), q=u_vec(q, n),

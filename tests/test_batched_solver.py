@@ -166,3 +166,45 @@ def test_batched_jerk_matches_vmapped_jerk(pallas_interpret):
     np.testing.assert_allclose(np.asarray(got.accel), np.asarray(ref.accel), atol=5e-4)
     np.testing.assert_allclose(np.asarray(got.steer), np.asarray(ref.steer), atol=5e-4)
     np.testing.assert_array_equal(np.asarray(got.target_idx), np.asarray(ref.target_idx))
+
+
+def test_lanes_pipeline_matches_xla():
+    """The fully lanes-resident TPU path (condense kernel -> in-kernel Ruiz
+    + ADMM -> lanes polish) vs the XLA reference path, via interpret mode."""
+    from mpc_for_av_at_intersection_tpu.core.angles import smooth_yaw_numpy
+    from mpc_for_av_at_intersection_tpu.models import bicycle_geometry
+    from mpc_for_av_at_intersection_tpu.mpc import init_controller_state
+    from mpc_for_av_at_intersection_tpu.mpc.batch import mpc_step_batched
+
+    geom = bicycle_geometry()
+    cfg = MPCConfig(T=13)
+    rng = np.random.default_rng(3)
+    B, N = 128, 200
+    dl = 0.083
+    turn = rng.normal(0, 0.01, size=(B, N)).cumsum(axis=1)
+    yaw = rng.uniform(-np.pi, np.pi, size=(B, 1)) + turn
+    xy = np.cumsum(np.stack([np.cos(yaw), np.sin(yaw)], axis=-1) * dl, axis=1)
+    course = np.concatenate([xy, yaw[..., None]], axis=-1)
+    for b in range(B):
+        course[b, :, 2] = smooth_yaw_numpy(course[b, :, 2])
+    i0 = rng.integers(3, 30, size=B)
+    states = np.stack(
+        [course[np.arange(B), i0, 0], course[np.arange(B), i0, 1],
+         rng.uniform(0, 8, B), course[np.arange(B), i0, 2]], axis=1)
+    cs0 = init_controller_state(cfg, jnp.float32)
+    cs = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), cs0)
+    args = (jnp.asarray(states, jnp.float32), jnp.asarray(course, jnp.float32),
+            jnp.zeros((B, N), jnp.float32), jnp.full((B,), N, jnp.int32),
+            jnp.full((B,), dl, jnp.float32))
+    ref = mpc_step_batched(*args, cs, cfg, geom.wheelbase, use_pallas=False)
+    got = mpc_step_batched(*args, cs, cfg, geom.wheelbase,
+                           use_pallas=True, interpret=True)
+    sa, sb = np.asarray(ref.solved), np.asarray(got.solved)
+    both = sa & sb
+    assert both.sum() >= B - 2
+    np.testing.assert_allclose(np.asarray(got.accel)[both],
+                               np.asarray(ref.accel)[both], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.steer)[both],
+                               np.asarray(ref.steer)[both], atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(got.target_idx),
+                                  np.asarray(ref.target_idx))
