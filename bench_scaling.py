@@ -281,7 +281,7 @@ def main():
     # process session, and a partial sweep is better than none
     if use_pallas:
         rt_rows = []
-        for B in (16384, 12288, 8192, 4096, 2048, 1024):
+        for B in (24576, 20480, 16384, 8192, 4096, 2048, 1024):
             try:
                 args = _mk_instances(B, 512, 20, dtype)
                 cs = jax.tree.map(

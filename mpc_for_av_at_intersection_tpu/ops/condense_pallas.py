@@ -196,11 +196,13 @@ def _kernel(T: int, consts: tuple,
     hi_out[0, pl.ds(T, ms)] = hi_static * ones
 
 
+@jax.tree_util.register_pytree_node_class
 class LanesQP:
     """Condensed QP with the big tensors kept in the kernel-native lanes
     layout (Bt, rows, cols, 128) — fed directly to the lanes-input solver
     kernels with zero intermediate (B, ...) transposes. F/g stay (B, ...)
-    for the XLA epilogue."""
+    for the XLA epilogue. Registered as a pytree with the static unpadded
+    batch size B0 as aux data so it can cross jit boundaries."""
 
     __slots__ = ("P_l", "q_l", "G_l", "lo_l", "hi_l", "F", "g", "B0")
 
@@ -208,6 +210,14 @@ class LanesQP:
         self.P_l, self.q_l, self.G_l = P_l, q_l, G_l
         self.lo_l, self.hi_l = lo_l, hi_l
         self.F, self.g, self.B0 = F, g, B0
+
+    def tree_flatten(self):
+        return ((self.P_l, self.q_l, self.G_l, self.lo_l, self.hi_l,
+                 self.F, self.g), self.B0)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux)
 
 
 def build_qp_pallas(
