@@ -112,6 +112,68 @@ def draw_search_points(search, ax, visualize_heuristic: bool = True):
     return sc
 
 
+def primitive_fanout_trajectories(
+    num_mps: int = 5,
+    angle_range_deg: float = 45.0,
+    mp_time: float = 0.2,
+    levels: int = 5,
+    dt: float = 0.1,
+    v: float = 1.0,
+    wheelbase: float = 1.0,
+):
+    """Recursive motion-primitive fan-out (the reference's pedagogical
+    ``lib/generate_MPs_multiple.py:37`` / ``generate_MPs_single.py:15``
+    demos — constant-velocity Euler bicycle arcs branched over a steering
+    fan for ``levels`` generations). TPU-shaped rather than per-trajectory
+    Python recursion: level k rolls ALL num_mps^k frontier poses x num_mps
+    steers as one batched ``bicycle_rollout``.
+
+    Returns a list of (n_steps+1, 3) numpy trajectories (root level first),
+    ``levels=1``/wide fan reproduces the single-fan demo.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.dynamics import bicycle_rollout
+
+    deltas = jnp.asarray(
+        np.deg2rad(np.linspace(-angle_range_deg, angle_range_deg, num_mps)),
+        jnp.float32,
+    )
+    n_steps = max(int(round(mp_time / dt)), 1)
+
+    roll = jax.jit(jax.vmap(
+        lambda p, d: bicycle_rollout(p, v, d, dt, wheelbase, n_steps)
+    ))
+
+    out = []
+    frontier = jnp.zeros((1, 3), jnp.float32)
+    for _ in range(levels):
+        P = frontier.shape[0]
+        poses = jnp.repeat(frontier, num_mps, axis=0)          # (P*D, 3)
+        ds = jnp.tile(deltas, P)
+        trajs = roll(poses, ds)                                # (P*D, n+1, 3)
+        out.extend(np.asarray(trajs))
+        frontier = trajs[:, -1, :]
+    return out
+
+
+def plot_primitive_fanout(ax=None, linewidth: float = 0.2, **kwargs):
+    """Draw the recursive primitive fan-out (reference demo parity plot)."""
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(10, 8))
+    for traj in primitive_fanout_trajectories(**kwargs):
+        ax.plot(traj[:, 0], traj[:, 1], linewidth=linewidth)
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_title("Bicycle Model Trajectories")
+    ax.grid(True)
+    ax.axis("equal")
+    return ax
+
+
 def plot_halfplane_region(halfplanes, ax, extent=(-45, 45, -45, 45), res=400):
     """Rasterize the region where ALL half-planes hold (debug tool; parity
     with reference ``envs/visualise_half_planes.py`` minus its bitrot)."""

@@ -53,3 +53,37 @@ def test_fleet_fast_path_through_batch_runner():
     assert np.asarray(t2.x).shape == np.asarray(t1.x).shape
     np.testing.assert_allclose(np.asarray(t2.x), np.asarray(t1.x), atol=2e-4)
     assert int(s1["n_done"]) == int(s2["n_done"])
+
+
+def test_chunked_pre_matches_unchunked():
+    """The lax.map-chunked pre stage (large-fleet fusion fix) must be
+    tick-identical to the plain vmapped pre."""
+    from mpc_for_av_at_intersection_tpu.engine.fleet import engine_tick_fleet
+    from mpc_for_av_at_intersection_tpu.models import bicycle_geometry
+
+    rng = np.random.default_rng(1)
+    geom, worlds, states, _ = api.sample_intersection_fleet(6, rng, n_steps=20)
+    wb, sb = stack_worlds(worlds), stack_states(states)
+    cfg = EngineConfig()
+
+    tick_a = jax.jit(
+        lambda w, s: engine_tick_fleet(w, s, cfg, geom, use_pallas=False,
+                                       pre_chunk=0)
+    )
+    tick_b = jax.jit(
+        lambda w, s: engine_tick_fleet(w, s, cfg, geom, use_pallas=False,
+                                       pre_chunk=2)
+    )
+    st_a = st_b = sb
+    for _ in range(8):
+        st_a, tel_a = tick_a(wb, st_a)
+        st_b, tel_b = tick_b(wb, st_b)
+        np.testing.assert_allclose(
+            np.asarray(st_b.ego), np.asarray(st_a.ego), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st_b.cutoff_len), np.asarray(st_a.cutoff_len)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tel_b.collision_found), np.asarray(tel_a.collision_found)
+        )

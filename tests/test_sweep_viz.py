@@ -113,3 +113,41 @@ def test_overlay_telemetry_sweep_figures(tmp_path):
     fig.savefig(out)
     plt.close("all")
     assert out.stat().st_size > 5000
+
+
+def test_primitive_fanout_matches_reference_recurrence():
+    """The vectorized fan-out demo (utils.plotting) vs the reference
+    generate_MPs_multiple.py recurrence, re-implemented literally."""
+    import numpy as np
+
+    from mpc_for_av_at_intersection_tpu.utils.plotting import (
+        primitive_fanout_trajectories,
+    )
+
+    def ref_traj(delta, x0, y0, th0, L, v, dt, total):
+        n = int(total / dt)
+        x, y, th = x0, y0, th0
+        out = [(x, y, th)]
+        for _ in range(n):
+            x += v * np.cos(th) * dt
+            y += v * np.sin(th) * dt
+            th += (v / L) * np.tan(delta) * dt
+            out.append((x, y, th))
+        return np.array(out)
+
+    deltas = np.deg2rad(np.linspace(-45, 45, 5))
+    init = [(0.0, 0.0, 0.0)]
+    ref = []
+    for _ in range(3):
+        new = []
+        for (x0, y0, t0) in init:
+            for d in deltas:
+                t = ref_traj(d, x0, y0, t0, 1.0, 1.0, 0.1, 0.2)
+                ref.append(t)
+                new.append(tuple(t[-1]))
+        init = new
+
+    got = primitive_fanout_trajectories(levels=3)
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g, r, atol=1e-5)
