@@ -211,3 +211,29 @@ def test_search_parity_with_reference(kwargs):
     np.testing.assert_allclose(np.asarray(path), np.asarray(ref_path), atol=1e-9)
     assert traj.shape == ref_traj.shape
     np.testing.assert_allclose(traj, ref_traj, atol=1e-9)
+
+
+def test_grid_astar_demo_toy():
+    """Headless twin of the reference's tkinter grid-A* toy
+    (planner/A_star_naive.py): 8-connected unit-cost moves, Manhattan
+    heuristic. Unit diagonal cost means path length == Chebyshev distance
+    + 1 on an empty board; a wall forces a detour around its end."""
+    from mpc_for_av_at_intersection_tpu.lattice.astar import NoPathError
+    from mpc_for_av_at_intersection_tpu.utils.grid_astar_demo import grid_astar
+
+    # empty board: optimal 8-connected unit-cost path
+    path, explored = grid_astar((0, 0), (5, 9))
+    assert len(path) == max(5, 9) + 1
+    assert path[0] == (0, 0) and path[-1] == (5, 9)
+    assert len(explored) >= len(path)
+
+    # wall with one gap: path must pass through the gap
+    wall = [(r, 5) for r in range(0, 25) if r != 24]
+    path2, _ = grid_astar((10, 2), (10, 8), wall)
+    assert (24, 5) in path2 or any(c == 5 and r == 24 for r, c in path2)
+
+    # fully walled off -> NoPathError (the GUI just stalls)
+    box = [(0, 1), (1, 1), (1, 0)]
+    import pytest as _pytest
+    with _pytest.raises(NoPathError):
+        grid_astar((0, 0), (20, 20), box)
