@@ -350,7 +350,7 @@ def main():
             Bt_ = q_l_.shape[0]
 
             def body(q_in, _):
-                x, y, pr, du = ruiz_admm_all_rounds_pallas(
+                x, y, pr, du, _rho, _chk = ruiz_admm_all_rounds_pallas(
                     P_l_, G_l_, q_in, lo_l_, hi_l_,
                     cfg.admm_rounds, cfg.admm_iters, cfg.admm_rho,
                     cfg.admm_sigma, cfg.admm_alpha)
@@ -405,6 +405,10 @@ def main():
                      + R * (t_factor1 + t_admm1 + t_resid1) + t_polish)
     report["accounted_ms"] = round(accounted, 2)
     report["unaccounted_ms"] = round(t_full - accounted, 2)
+    report["note"] = (
+        "stage timings are measured STANDALONE (each its own fused jit "
+        "chain); composition changes XLA fusion, so stage sums need not "
+        "equal full_tick_ms and unaccounted_ms may be negative")
 
     # ---- analytic roofline for the ADMM kernel ----
     it_flops = 2 * (n * n + 2 * m * n) + 8 * (n + m)      # per scen per iter

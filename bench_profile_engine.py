@@ -126,8 +126,15 @@ def main():
     @jax.jit
     def predict_chain(world, st):
         def body(e, _):
+            # thread the carry into the INPUT so the body cannot be
+            # hoisted out of the scan as loop-invariant (XLA LICM would
+            # otherwise compute it once and report ~1/K of the cost)
+            agents = jax.tree.map(
+                lambda a: a + (eps * e).reshape(
+                    (-1,) + (1,) * (a.ndim - 1)).astype(a.dtype)
+                if a.dtype.kind == 'f' else a, st.agents)
             obs6 = jax.vmap(lambda p, s: agents_get(p, s, dt))(
-                world.agent_params, st.agents)
+                world.agent_params, agents)
             preds = predict_constant_control(obs6, dt, geom.wheelbase, cfg.n_pred)
             return e + eps * preds[:, 0, 0, 0], ()
         ef, _ = jax.lax.scan(body, st.ego[:, 0], None, length=K)
@@ -148,12 +155,13 @@ def main():
     @jax.jit
     def pre_chain(world, st, preds):
         def body(e, _):
+            ego = st.ego + (eps * e)[:, None]    # carry -> input (no LICM)
             pre = jax.vmap(
                 lambda course, n, dl, goal, ego, ctrl, cut, aidx, first, done,
                 pr, act: ego_subtick_pre(course, n, dl, goal, ego, ctrl, cut,
                                          aidx, first, done, pr, act, cfg, geom)
             )(world.course, world.n_course, world.dl, world.goal_xy,
-              st.ego, st.ctrl, st.cutoff_len, st.agent_idx, st.first_tick,
+              ego, st.ctrl, st.cutoff_len, st.agent_idx, st.first_tick,
               st.done, preds, world.agent_params.active)
             return e + eps * pre[4].astype(jnp.float32), ()
         ef, _ = jax.lax.scan(
@@ -183,8 +191,10 @@ def main():
     @jax.jit
     def resample_chain(world, st):
         def one(course, ego, aidx, n_course):
-            rel = jnp.minimum(aidx + jnp.arange(N), N - 1)
-            detail = course[rel]
+            course2 = jnp.concatenate(
+                [course, jnp.broadcast_to(course[-1], course.shape)], axis=0)
+            detail = jax.lax.dynamic_slice(
+                course2, (aidx, jnp.asarray(0, aidx.dtype)), (N, 3))
             n_detail = n_course - aidx
             i = jnp.arange(N, dtype=course.dtype)
             accel_dl = dt * jnp.minimum(
@@ -197,7 +207,8 @@ def main():
             return ego_traj[0, 0] + eps * n_ego
 
         def body(e, _):
-            v = jax.vmap(one)(world.course, st.ego, st.agent_idx, world.n_course)
+            ego = st.ego + (eps * e)[:, None]    # carry -> input (no LICM)
+            v = jax.vmap(one)(world.course, ego, st.agent_idx, world.n_course)
             return e + eps * v, ()
         ef, _ = jax.lax.scan(
             body, st.cutoff_len.astype(world.course.dtype), None, length=K)
@@ -211,8 +222,10 @@ def main():
     @jax.jit
     def conflict_chain(world, st, preds):
         def one(course, ego, aidx, n_course, pr, act):
-            rel = jnp.minimum(aidx + jnp.arange(N), N - 1)
-            detail = course[rel]
+            course2 = jnp.concatenate(
+                [course, jnp.broadcast_to(course[-1], course.shape)], axis=0)
+            detail = jax.lax.dynamic_slice(
+                course2, (aidx, jnp.asarray(0, aidx.dtype)), (N, 3))
             n_detail = n_course - aidx
             i = jnp.arange(N, dtype=course.dtype)
             accel_dl = dt * jnp.minimum(
@@ -229,7 +242,8 @@ def main():
             return scan.xy[0] + eps * scan.frame_idx
 
         def body(e, _):
-            v = jax.vmap(one)(world.course, st.ego, st.agent_idx,
+            ego = st.ego + (eps * e)[:, None]    # carry -> input (no LICM)
+            v = jax.vmap(one)(world.course, ego, st.agent_idx,
                               world.n_course, preds,
                               world.agent_params.active)
             return e + eps * v, ()
@@ -279,10 +293,11 @@ def main():
     @jax.jit
     def post_chain(world, st, done_now, agent_idx, scan, cutoff_len, out):
         def body(e, _):
+            ego_in = st.ego + (eps * e)[:, None]  # carry -> input (no LICM)
             (ego, ctrl, cut2, ai2, dn2), tel = jax.vmap(
                 lambda course, ego, c, dn, ai, sc, cl, o:
                 ego_subtick_post(course, ego, c, dn, ai, sc, cl, o, cfg, geom)
-            )(world.course, st.ego, st.ctrl, done_now, agent_idx, scan,
+            )(world.course, ego_in, st.ctrl, done_now, agent_idx, scan,
               cutoff_len, out)
             agents = jax.vmap(lambda p, s: agents_step(p, s, dt, geom.wheelbase))(
                 world.agent_params, st.agents)
@@ -297,6 +312,10 @@ def main():
     accounted = t_pred + t_pre + t_mpc + t_post
     report["accounted_ms"] = round(accounted, 2)
     report["unaccounted_ms"] = round(t_full - accounted, 2)
+    report["note"] = (
+        "stage timings are measured STANDALONE (each its own fused jit "
+        "chain); composition changes XLA fusion, so stage sums need not "
+        "equal full_tick_ms (loc/resample/conflict also overlap pre_ms)")
     report["ticks_per_s_implied"] = round(B / (t_full / 1e3), 1)
 
     out_s = json.dumps(report, indent=2)

@@ -77,10 +77,19 @@ def compact_by_mask(points, mask, out_len: int):
     mask_i = mask.astype(jnp.int32)
     n_kept = jnp.sum(mask_i)
     pos = jnp.cumsum(mask_i) - 1
-    scatter_idx = jnp.where(mask, pos, out_len)  # out-of-bounds -> dropped
 
-    out = jnp.zeros((out_len,) + points.shape[1:], dtype=points.dtype)
-    out = out.at[scatter_idx].set(points, mode="drop")
+    # one-hot matmul instead of a scatter: W[j, i] = (pos[i] == j & kept),
+    # out = W @ points. Each output row sums exactly one point (bit-exact
+    # vs the scatter), and the (out_len, n) x (n, D) contraction rides the
+    # MXU — the batched row-scatter this replaces was the single hottest
+    # op of the fleet engine's pre stage (PROFILE_ENGINE r5).
+    cols = jnp.arange(out_len, dtype=pos.dtype)
+    W = ((pos[None, :] == cols[:, None]) & mask[None, :]).astype(points.dtype)
+    if points.ndim > 1:
+        out = W @ points
+    else:
+        out = W @ points[:, None]
+        out = out[:, 0]
 
     # forward-fill the tail with the last kept row
     last_idx = (n - 1) - jnp.argmax(mask[::-1])

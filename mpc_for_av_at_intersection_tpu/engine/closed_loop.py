@@ -225,9 +225,17 @@ def ego_subtick_pre(
         agent_idx,
     )
 
-    # remaining full-course suffix (detailed path)
-    rel = jnp.minimum(agent_idx + jnp.arange(N), N - 1)
-    detail = course[rel]
+    # remaining full-course suffix (detailed path). The clamped gather
+    # course[min(agent_idx + i, N-1)] is a SHIFT: dynamic-slice a doubled
+    # buffer whose upper half repeats the final row (the padded course
+    # already repeats it from n_course on) — a contiguous copy instead of
+    # an N-row gather, exactly equal element-wise (PROFILE_ENGINE r5: the
+    # pre stage was ~70% of the fleet tick, led by this gather + the
+    # compaction scatter).
+    course2 = jnp.concatenate(
+        [course, jnp.broadcast_to(course[-1], course.shape)], axis=0)
+    detail = jax.lax.dynamic_slice(
+        course2, (agent_idx, jnp.asarray(0, agent_idx.dtype)), (N, 3))
     n_detail = n_course - agent_idx
 
     # 3. ego reachability resample of the suffix (reference :110-116)

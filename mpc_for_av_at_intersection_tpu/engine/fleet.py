@@ -24,6 +24,16 @@ from .closed_loop import (
 )
 
 
+def best_pre_chunk(B: int, pre_chunk: int) -> int:
+    """Largest divisor of ``B`` that is <= ``pre_chunk`` — so chunking
+    degrades gracefully instead of silently turning off when the batch is
+    not an exact multiple (e.g. B=1536 with the default 1024 -> 768)."""
+    for c in range(min(pre_chunk, B), 0, -1):
+        if B % c == 0:
+            return c
+    return B
+
+
 def engine_tick_fleet(
     world: WorldArrays,     # batched along leading axis
     st: EngineState,        # batched
@@ -52,16 +62,17 @@ def engine_tick_fleet(
         st.ego, st.ctrl, st.cutoff_len, st.agent_idx, st.first_tick, st.done,
         preds, world.agent_params.active,
     )
-    if pre_chunk and B > pre_chunk and B % pre_chunk == 0:
+    chunk = best_pre_chunk(B, pre_chunk) if pre_chunk else B
+    if chunk < B:
         # large fleets: run the pre stage in lax.map chunks. Composed with
         # the solver kernels, XLA stops fusing the whole-batch conflict
         # scan and materializes its (B, n_obs, S, 2, 2, F) intermediates
         # (measured: 285 ms/tick at B=4096 vs 4 x the B=1024 tick = 145);
         # per-chunk the scan stays one fusion (285 -> 164 ms measured).
-        nC = B // pre_chunk
+        nC = B // chunk
 
         def chunkit(a):
-            return a.reshape((nC, pre_chunk) + a.shape[1:])
+            return a.reshape((nC, chunk) + a.shape[1:])
 
         pre = jax.lax.map(lambda a: pre_vmap(*a),
                           jax.tree.map(chunkit, pre_args))

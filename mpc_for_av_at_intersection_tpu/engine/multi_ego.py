@@ -267,16 +267,41 @@ def multi_ego_fleet_tick(
     geom: VehicleGeometry,
     use_pallas: bool = True,
     interpret: bool = False,
+    pre_chunk_egos: int = 1024,
 ):
     """S independent multi-ego junctions in one tick: per-scenario
     prediction/pre/post are vmapped, and ALL S*E QPs are solved by one
     ``mpc_step_batched`` call through the fused Pallas kernels (a vmapped
     ``multi_ego_tick_batched`` would shatter the solver batch). This is the
     throughput configuration of BASELINE config 4 (reference intent:
-    ``main/scenarios/interactive_mpc.py:117-190``)."""
+    ``main/scenarios/interactive_mpc.py:117-190``).
+
+    Like ``engine_tick_fleet``, the pre stage runs as ``lax.map`` chunks
+    (of ~``pre_chunk_egos`` total egos) at large S: composed with the
+    solver kernels, XLA otherwise stops fusing the whole-batch conflict
+    scan and materializes its per-ego frame intermediates — the measured
+    S=256 -> 512 cliff in MULTIEGO_r04 (69.1 -> 262.9 ms/tick, 3.8x for 2x
+    work) is exactly the single-ego defusion PROFILE.md §2c bisected."""
+    from .fleet import best_pre_chunk
+
     S, E = st.egos.shape[:2]
 
-    pre = jax.vmap(lambda w, s: _multi_ego_pre(w, s, cfg, geom))(world, st)
+    pre_vmap = jax.vmap(lambda w, s: _multi_ego_pre(w, s, cfg, geom))
+    chunk = (best_pre_chunk(S, max(1, pre_chunk_egos // E))
+             if pre_chunk_egos else S)
+    if chunk < S:
+        nC = S // chunk
+
+        def chunkit(a):
+            return a.reshape((nC, chunk) + a.shape[1:])
+
+        pre = jax.lax.map(
+            lambda ws: pre_vmap(*ws),
+            (jax.tree.map(chunkit, world), jax.tree.map(chunkit, st)),
+        )
+        pre = jax.tree.map(lambda a: a.reshape((S,) + a.shape[2:]), pre)
+    else:
+        pre = pre_vmap(world, st)
     _done_now, _agent_idx, _scan, _cutoff_len, course_len_for_mpc, cv = pre
 
     def flat(a):

@@ -15,7 +15,12 @@ import jax.numpy as jnp
 from ..core.dynamics import SimLimits, plant_rollout
 from .condense import condense
 from .config import MPCConfig
-from .controller import ControllerState, MPCStepOut
+from .controller import (
+    ControllerState,
+    MPCStepOut,
+    qp_carry_update,
+    qp_warm_start,
+)
 from .linearize import linearize_bicycle
 from .qp import solve_box_qp_batched
 from .reference import compute_reference
@@ -50,6 +55,9 @@ def mpc_step_batched(
     ov = cs.ov
     have_ov = cs.have_ov
     target_idx = cs.target_idx
+    warm = qp_warm_start(cs, cfg)
+    (checks, check_iters, s_eps, s_band,
+     s_cap, s_ratio) = cfg.solver_schedule
 
     sol = None
     Ff = gf = xref = None
@@ -62,12 +70,13 @@ def mpc_step_batched(
         )(states, courses, course_speeds, valid_lens, dls, target_idx, ov, have_ov)
         xref, target_idx, reaches_end = ref
 
-        if use_pallas and not cfg.jerk:
-            # fused rollout + linearize + condense kernel: the XLA version
-            # of this stage (two T-step scans + small batched matmuls) was
-            # 66.8 ms of the 80 ms controller tick at B=4096 (PROFILE_r04).
-            # With polish on (every shipped config), the QP tensors stay in
-            # the kernel-native lanes layout end-to-end: condense -> Ruiz +
+        if use_pallas:
+            # fused rollout + linearize + condense kernel (canonical nx=4
+            # AND jerk nx=5): the XLA version of this stage (two T-step
+            # scans + small batched matmuls) was 66.8 ms of the 80 ms
+            # controller tick at B=4096 (PROFILE_r04). With polish on
+            # (every shipped config), the QP tensors stay in the
+            # kernel-native lanes layout end-to-end: condense -> Ruiz +
             # ADMM (in-kernel) -> polish, no (B, ...) transposes between.
             from ..ops.condense_pallas import build_qp_pallas
 
@@ -92,21 +101,37 @@ def mpc_step_batched(
         from ..ops.condense_pallas import LanesQP
 
         if isinstance(cqp, LanesQP):
+            from ..ops.admm_pallas import LANES
             from .qp import solve_box_qp_lanes
 
+            warm_p = warm
+            if warm_p is not None:
+                pad = (LANES - B % LANES) % LANES
+
+                def padd(a):
+                    return (jnp.concatenate(
+                        [a, jnp.repeat(a[-1:], pad, axis=0)], 0)
+                        if pad else a)
+
+                warm_p = tuple(padd(a) for a in warm_p)
             sol = solve_box_qp_lanes(
                 cqp.P_l, cqp.q_l, cqp.G_l, cqp.lo_l, cqp.hi_l, cqp.B0,
-                rounds=cfg.admm_rounds, iters=cfg.admm_iters,
+                rounds=checks, iters=check_iters,
                 rho0=cfg.admm_rho, sigma=cfg.admm_sigma,
                 alpha=cfg.admm_alpha, interpret=interpret,
+                warm=warm_p, eps=s_eps, refactor_band=s_band,
+                stall_cap=s_cap, stall_ratio=s_ratio,
             )
         else:
             sol = solve_box_qp_batched(
                 cqp.P, cqp.q, cqp.G, cqp.lo, cqp.hi,
-                rounds=cfg.admm_rounds, iters=cfg.admm_iters,
+                rounds=checks, iters=check_iters,
                 rho0=cfg.admm_rho, sigma=cfg.admm_sigma, alpha=cfg.admm_alpha,
                 polish=cfg.polish, use_pallas=use_pallas, interpret=interpret,
+                warm=warm, eps=s_eps, refactor_band=s_band,
+                stall_cap=s_cap, stall_ratio=s_ratio,
             )
+        warm = (sol.x, sol.y, sol.rho) if cfg.warm_start_qp else None
         # jerk variant: decision vector is [u_flat (2T); a0] — controls are
         # the first 2T entries either way
         u = sol.x[:, : 2 * T].reshape(B, T, 2)
@@ -121,8 +146,13 @@ def mpc_step_batched(
         & jnp.isfinite(sol.prim_res)
         & (sol.prim_res < 1e-2)
     )
-    accel = jnp.where(solved, oa[:, 0], jnp.asarray(cfg.max_decel, dtype))
-    steer = jnp.where(solved, od[:, 0], cs.last_steer)
+    # commanded controls clamped to the actuator boxes (see mpc_step)
+    accel = jnp.where(
+        solved, jnp.clip(oa[:, 0], cfg.max_decel, cfg.max_accel),
+        jnp.asarray(cfg.max_decel, dtype))
+    steer = jnp.clip(
+        jnp.where(solved, od[:, 0], cs.last_steer),
+        -cfg.max_steer, cfg.max_steer)
 
     new_cs = ControllerState(
         oa=jnp.where(solved[:, None], oa, jnp.zeros_like(oa)),
@@ -132,6 +162,7 @@ def mpc_step_batched(
         have_ov=solved,
         target_idx=target_idx,
         last_steer=steer,
+        **qp_carry_update(sol, solved, cfg),
     )
     X = (jnp.einsum("bij,bj->bi", Ff, sol.x) + gf).reshape(B, T, nx)
     plan_xy = jnp.concatenate([states[:, None, :2], X[:, :, :2]], axis=1)

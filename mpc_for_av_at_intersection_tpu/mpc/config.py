@@ -63,15 +63,52 @@ class MPCConfig:
     jerk: bool = False
     jerk_weight: float = 1.0
 
-    # solver controls (3 x 170 matches 10 x 50 accuracy on the adversarial
-    # oracle instances while cutting factorizations 3x — the Pallas kernel
-    # makes long inner bursts nearly free)
+    # solver controls. With ``admm_eps > 0`` (the default) the solver runs
+    # up to ``admm_max_checks`` blocks of ``admm_check_iters`` iterations,
+    # exits early once the relative primal AND dual residuals drop below
+    # ``admm_eps``, refactorizes only when rho drifts outside
+    # ``[1/band, band]`` (OSQP's direct-solver rho policy), and warm-starts
+    # each control tick from the previous tick's (x, y, rho) carried in
+    # ``ControllerState`` (reference intent: ``main/lib/mpc.py:222-224``,
+    # which warm-starts the linearization controls the same way). Cold
+    # budget 16 x 32 = 512 iterations ~= the round-4 fixed 3 x 170.
+    admm_eps: float = 1e-4       # relative residual tolerance (0 = fixed)
+    admm_check_iters: int = 32   # iterations per residual check block
+    admm_max_checks: int = 16    # max check blocks (cap = checks * iters)
+    admm_refactor_band: float = 5.0  # rho drift band before refactorizing
+    # stall exit: a lane that is near-converged (score <= cap) but no
+    # longer improving by 1/ratio per block stops early and hands off to
+    # the polish — ~10% of fp32 instances noise-floor above admm_eps and
+    # would otherwise pin their whole 128-lane group at the check cap
+    admm_stall_cap: float = 1e-3
+    admm_stall_ratio: float = 0.5
+    warm_start_qp: bool = True   # carry (x, y, rho) across control ticks
+    # legacy fixed-budget knobs, used when ``admm_eps == 0`` (3 x 170
+    # matches 10 x 50 accuracy on the adversarial oracle instances while
+    # cutting factorizations 3x)
     admm_rounds: int = 3         # outer rounds (refactorize + adapt rho)
     admm_iters: int = 170        # inner iterations per round
     admm_rho: float = 0.1
     admm_sigma: float = 1e-6
     admm_alpha: float = 1.6
     polish: bool = True
+
+    @property
+    def solver_schedule(self):
+        """(max_checks, check_iters, eps, band, stall_cap, stall_ratio)
+        for the adaptive solver — collapses to the legacy fixed budget
+        when ``admm_eps == 0``."""
+        if self.admm_eps > 0.0:
+            return (self.admm_max_checks, self.admm_check_iters,
+                    self.admm_eps, self.admm_refactor_band,
+                    self.admm_stall_cap, self.admm_stall_ratio)
+        return (self.admm_rounds, self.admm_iters, 0.0, 0.0, 0.0, 0.5)
+
+    @property
+    def qp_dims(self):
+        """(n, m) of the condensed box-QP for this variant."""
+        n = 2 * self.T + 1 if self.jerk else 2 * self.T
+        return n, 4 * self.T - 1
 
     @property
     def nx(self) -> int:

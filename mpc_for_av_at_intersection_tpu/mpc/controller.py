@@ -36,6 +36,16 @@ class ControllerState(NamedTuple):
     have_ov: jnp.ndarray     # () bool
     target_idx: jnp.ndarray  # () int32 course localization index
     last_steer: jnp.ndarray  # () last commanded steer (kept on failure)
+    # cross-tick QP warm start (round-5): previous tick's primal/dual
+    # solution and final ADMM penalty. Successive receding-horizon ticks
+    # solve nearly identical QPs, so seeding the ADMM from these cuts warm
+    # iteration counts by an order of magnitude (the same lever as the
+    # reference's control warm start, ``main/lib/mpc.py:222-224``).
+    # Dropped on solve failure, exactly like ``oa``/``od``.
+    qp_x: jnp.ndarray        # (n_qp,) previous QP primal
+    qp_y: jnp.ndarray        # (m_qp,) previous QP dual
+    qp_rho: jnp.ndarray      # () previous final ADMM rho (scaled problem)
+    have_qp: jnp.ndarray     # () bool
 
 
 class MPCStepOut(NamedTuple):
@@ -50,6 +60,7 @@ class MPCStepOut(NamedTuple):
 
 def init_controller_state(cfg: MPCConfig, dtype=jnp.float32) -> ControllerState:
     T = cfg.T
+    n_qp, m_qp = cfg.qp_dims
     return ControllerState(
         oa=jnp.zeros((T,), dtype),
         od=jnp.zeros((T,), dtype),
@@ -58,6 +69,42 @@ def init_controller_state(cfg: MPCConfig, dtype=jnp.float32) -> ControllerState:
         have_ov=jnp.asarray(False),
         target_idx=jnp.asarray(0, jnp.int32),
         last_steer=jnp.asarray(0.0, dtype),
+        qp_x=jnp.zeros((n_qp,), dtype),
+        qp_y=jnp.zeros((m_qp,), dtype),
+        qp_rho=jnp.asarray(cfg.admm_rho, dtype),
+        have_qp=jnp.asarray(False),
+    )
+
+
+def qp_warm_start(cs: ControllerState, cfg: MPCConfig):
+    """Warm tuple for ``solve_box_qp`` from the carried state (batched or
+    not — broadcasting handles both). Falls back to the cold (zeros,
+    rho0) start wherever ``have_qp`` is unset or warm starting is off."""
+    if not cfg.warm_start_qp:
+        return None
+    have = cs.have_qp
+    hx = have[..., None] if cs.qp_x.ndim > have.ndim else have
+    return (
+        jnp.where(hx, cs.qp_x, jnp.zeros_like(cs.qp_x)),
+        jnp.where(hx, cs.qp_y, jnp.zeros_like(cs.qp_y)),
+        jnp.where(have, cs.qp_rho, jnp.full_like(cs.qp_rho, cfg.admm_rho)),
+    )
+
+
+def qp_carry_update(sol, solved, cfg: MPCConfig):
+    """(qp_x, qp_y, qp_rho, have_qp) fields for the next tick's state —
+    kept on success, dropped to the cold start on failure (the same
+    failure semantics as the control warm start)."""
+    ok = solved if cfg.warm_start_qp else jnp.zeros_like(solved)
+    okx = ok[..., None] if sol.x.ndim > ok.ndim else ok
+    rho = sol.rho if sol.rho is not None else jnp.full(
+        solved.shape, cfg.admm_rho, sol.x.dtype)
+    return dict(
+        qp_x=jnp.where(okx, sol.x, jnp.zeros_like(sol.x)),
+        qp_y=jnp.where(okx, sol.y, jnp.zeros_like(sol.y)),
+        qp_rho=jnp.where(ok, rho.astype(sol.x.dtype),
+                         jnp.asarray(cfg.admm_rho, sol.x.dtype)),
+        have_qp=ok,
     )
 
 
@@ -88,6 +135,7 @@ def mpc_step(
     ov = cs.ov
     have_ov = cs.have_ov
     target_idx = cs.target_idx
+    warm = qp_warm_start(cs, cfg)
 
     sol = None
     Ff = gf = None
@@ -107,12 +155,18 @@ def mpc_step(
         A, B, C = linearize_bicycle(xbar[:-1, 2], xbar[:-1, 3], dref, cfg.dt, wheelbase)
 
         cqp = condense(A, B, C, state4, xref, reaches_end, cfg)
+        (checks, check_iters, s_eps, s_band,
+         s_cap, s_ratio) = cfg.solver_schedule
         sol = solve_box_qp(
             cqp.P, cqp.q, cqp.G, cqp.lo, cqp.hi,
-            rounds=cfg.admm_rounds, iters=cfg.admm_iters,
+            rounds=checks, iters=check_iters,
             rho0=cfg.admm_rho, sigma=cfg.admm_sigma, alpha=cfg.admm_alpha,
             polish=cfg.polish,
+            warm=warm, eps=s_eps, refactor_band=s_band,
+            stall_cap=s_cap, stall_ratio=s_ratio,
         )
+        # re-linearization iterations warm from the solve just done
+        warm = (sol.x, sol.y, sol.rho) if cfg.warm_start_qp else None
         u = sol.x.reshape(T, 2)
         oa, od = u[:, 0], u[:, 1]
         Ff, gf = cqp.F, cqp.g
@@ -126,8 +180,15 @@ def mpc_step(
         & (sol.prim_res < 1e-2)
     )
 
-    accel = jnp.where(solved, oa[0], jnp.asarray(cfg.max_decel, dtype))
-    steer = jnp.where(solved, od[0], cs.last_steer)
+    # commanded controls clamped to the actuator boxes: the reference's
+    # interior-point solve returns feasible-to-1e-8 controls; a rare
+    # polish-rejected ADMM iterate here can overshoot a box by ~1e-3
+    accel = jnp.where(
+        solved, jnp.clip(oa[0], cfg.max_decel, cfg.max_accel),
+        jnp.asarray(cfg.max_decel, dtype))
+    steer = jnp.clip(
+        jnp.where(solved, od[0], cs.last_steer),
+        -cfg.max_steer, cfg.max_steer)
 
     new_cs = ControllerState(
         oa=jnp.where(solved, oa, jnp.zeros_like(oa)),
@@ -137,6 +198,7 @@ def mpc_step(
         have_ov=solved,
         target_idx=target_idx,
         last_steer=steer,
+        **qp_carry_update(sol, solved, cfg),
     )
 
     X = (Ff @ sol.x + gf).reshape(T, 4)

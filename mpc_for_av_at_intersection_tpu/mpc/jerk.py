@@ -25,7 +25,12 @@ import jax.numpy as jnp
 from ..core.dynamics import SimLimits, plant_rollout
 from .condense import CondensedQP, _tracking_blocks
 from .config import MPCConfig
-from .controller import ControllerState, MPCStepOut
+from .controller import (
+    ControllerState,
+    MPCStepOut,
+    qp_carry_update,
+    qp_warm_start,
+)
 from .linearize import linearize_bicycle
 from .qp import solve_box_qp
 from .reference import compute_reference
@@ -129,6 +134,7 @@ def mpc_step_jerk(
     ov = cs.ov
     have_ov = cs.have_ov
     target_idx = cs.target_idx
+    warm = qp_warm_start(cs, cfg)
 
     sol = None
     Ff = gf = xref = None
@@ -147,12 +153,17 @@ def mpc_step_jerk(
         )
 
         cqp = condense_jerk(A, B, C, state4, xref, reaches_end, cfg)
+        (checks, check_iters, s_eps, s_band,
+         s_cap, s_ratio) = cfg.solver_schedule
         sol = solve_box_qp(
             cqp.P, cqp.q, cqp.G, cqp.lo, cqp.hi,
-            rounds=cfg.admm_rounds, iters=cfg.admm_iters,
+            rounds=checks, iters=check_iters,
             rho0=cfg.admm_rho, sigma=cfg.admm_sigma, alpha=cfg.admm_alpha,
             polish=cfg.polish,
+            warm=warm, eps=s_eps, refactor_band=s_band,
+            stall_cap=s_cap, stall_ratio=s_ratio,
         )
+        warm = (sol.x, sol.y, sol.rho) if cfg.warm_start_qp else None
         u = sol.x[: 2 * T].reshape(T, 2)
         oa, od = u[:, 0], u[:, 1]
         Ff, gf = cqp.F, cqp.g
@@ -165,8 +176,13 @@ def mpc_step_jerk(
         & jnp.isfinite(sol.prim_res)
         & (sol.prim_res < 1e-2)
     )
-    accel = jnp.where(solved, oa[0], jnp.asarray(cfg.max_decel, dtype))
-    steer = jnp.where(solved, od[0], cs.last_steer)
+    # commanded controls clamped to the actuator boxes (see mpc_step)
+    accel = jnp.where(
+        solved, jnp.clip(oa[0], cfg.max_decel, cfg.max_accel),
+        jnp.asarray(cfg.max_decel, dtype))
+    steer = jnp.clip(
+        jnp.where(solved, od[0], cs.last_steer),
+        -cfg.max_steer, cfg.max_steer)
 
     new_cs = ControllerState(
         oa=jnp.where(solved, oa, jnp.zeros_like(oa)),
@@ -176,6 +192,7 @@ def mpc_step_jerk(
         have_ov=solved,
         target_idx=target_idx,
         last_steer=steer,
+        **qp_carry_update(sol, solved, cfg),
     )
     X = (Ff @ sol.x + gf).reshape(T, 5)
     plan_xy = jnp.concatenate([state4[None, :2], X[:, :2]])

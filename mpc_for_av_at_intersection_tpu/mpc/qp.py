@@ -27,6 +27,10 @@ class QPSolution(NamedTuple):
     polished: jnp.ndarray   # () bool — polish accepted
     prim_res: jnp.ndarray   # () inf-norm of primal residual (pre-polish)
     dual_res: jnp.ndarray   # () inf-norm of dual residual (pre-polish)
+    # diagnostics for cross-tick warm starting (round-5): final ADMM
+    # penalty (scaled problem) and number of iteration blocks executed
+    rho: jnp.ndarray = None
+    checks: jnp.ndarray = None
 
 
 def _ruiz_equilibrate(P, q, G, iters: int = 10):
@@ -147,6 +151,13 @@ def _polish_masks(P, q, G, lo, hi, act_lo, act_hi, fac: _PolishFactors):
     b = jnp.where(act_lo, lo, hi)
 
     S = d[:, None] * fac.H * d[None, :] + jnp.diag(1.0 - d)
+    # OSQP-style delta regularization: a degenerate active set (e.g. a
+    # velocity row that is a linear combination of active accel rows —
+    # routine when braking to a stop) makes S singular; the ridge keeps
+    # the factorization stable and the refinement pass below recovers the
+    # accuracy. The accept test still guards the result.
+    reg = 1e-7 * jnp.maximum(jnp.max(jnp.diag(S)), 1.0)
+    S = S + reg * jnp.eye(m, dtype=dtype)
     Ls = jnp.linalg.cholesky(S)
 
     def kkt_solve(r1, r2):
@@ -237,8 +248,21 @@ def solve_box_qp(
     polish: bool = True,
     act_tol_rel: float = 1e-4,
     scale: bool = True,
+    warm=None,                  # None | (x0 (n,), y0 (m,), rho_w ())
+    eps: float = 0.0,           # relative-residual early exit (0 = off)
+    refactor_band: float = 0.0,  # rho drift band (<= 1 = refactor always)
+    stall_cap: float = 0.0,      # stall-exit score cap (0 = off)
+    stall_ratio: float = 0.5,    # min per-block improvement factor
 ) -> QPSolution:
     """Solve one dense box-QP (vmap over a leading batch axis to batch).
+
+    ``rounds`` x ``iters`` is the iteration budget (refactorize + rho
+    adapt between rounds). With ``eps > 0`` the solver exits as soon as
+    both relative residuals drop below it, and with ``refactor_band > 1``
+    rounds reuse the previous factorization while rho stays inside the
+    band (OSQP's direct-solver policy). ``warm`` carries the previous
+    tick's (x, y, rho) — the cross-tick closed-loop MPC warm start
+    (reference intent: ``main/lib/mpc.py:222-224``).
 
     NOTE: runs under true-f32 matmul precision — TPU's default bf16x3
     matmul passes measurably degrade polish acceptance / residuals
@@ -247,13 +271,15 @@ def solve_box_qp(
     with jax.default_matmul_precision("float32"):
         return _solve_box_qp_impl(
             P, q, G, lo, hi, rounds, iters, rho0, sigma, alpha,
-            polish, act_tol_rel, scale,
+            polish, act_tol_rel, scale, warm, eps, refactor_band,
+            stall_cap, stall_ratio,
         )
 
 
 def _solve_box_qp_impl(
     P, q, G, lo, hi, rounds, iters, rho0, sigma, alpha,
-    polish, act_tol_rel, scale,
+    polish, act_tol_rel, scale, warm=None, eps=0.0, refactor_band=0.0,
+    stall_cap=0.0, stall_ratio=0.5,
 ) -> QPSolution:
     n = P.shape[0]
     m = G.shape[0]
@@ -273,24 +299,102 @@ def _solve_box_qp_impl(
         Ps, qs, Gs, los, his = P, q, G, lo, hi
 
     # init seeded from inputs so scan-carry varying-axis types line up
-    # under shard_map
+    # under shard_map; warm start scaled into the equilibrated problem
     zero = q[0] * 0.0
-    x = jnp.zeros((n,), dtype) + zero
-    z = jnp.clip(jnp.zeros((m,), dtype) + zero, los, his)
-    y = jnp.zeros((m,), dtype) + zero
-    rho = jnp.asarray(rho0, dtype) + zero
+    if warm is None:
+        x = jnp.zeros((n,), dtype) + zero
+        y = jnp.zeros((m,), dtype) + zero
+        rho = jnp.asarray(rho0, dtype) + zero
+    else:
+        x0, y0, rho_w = warm
+        x = x0 / d + zero
+        y = (c * y0) / e + zero
+        rho = jnp.asarray(rho_w, dtype) + zero
+    z = jnp.clip(Gs @ x, los, his)
 
-    runner = _admm_round(Ps, qs, Gs, los, his, sigma, alpha, iters)
+    # seeded from inputs: under shard_map the cond-wrapped factorization
+    # requires every operand's varying axes to match
+    eye = jnp.eye(n, dtype=dtype) + zero
 
-    def round_body(state, _):
-        state, res = runner(state)
-        return state, res
+    def factorize(rho):
+        M = Ps + sigma * eye + rho * (Gs.T @ Gs)
+        L = jnp.linalg.cholesky(M)
+        # explicit inverse: one triangular solve with n right-hand sides
+        # per factorization, so the hot inner loop is pure matvecs
+        # (batched 1-rhs triangular solves are an order of magnitude
+        # slower on TPU); accuracy is recovered by the polish afterwards
+        return jax.scipy.linalg.cho_solve((L, True), eye)
 
-    state, res_hist = jax.lax.scan(
-        round_body, (x, z, y, rho), None, length=rounds
+    def check_cond(carry):
+        (k, x, z, y, rho_f, rho_p, refac, Minv, prim, dual,
+         done, prev_score) = carry
+        return (k < rounds) & jnp.logical_not(done)
+
+    def check_body(carry):
+        (k, x, z, y, rho_f, rho_p, refac, Minv, prim, dual,
+         done, prev_score) = carry
+        Minv = jax.lax.cond(refac, lambda: factorize(rho_p), lambda: Minv)
+        rho_v = jnp.where(refac, rho_p, rho_f)
+
+        def it(carry, _):
+            x, z, y = carry
+            rhs = sigma * x - qs + Gs.T @ (rho_v * z - y)
+            xt = Minv @ rhs
+            Gxt = Gs @ xt
+            x_n = alpha * xt + (1.0 - alpha) * x
+            z_t = alpha * Gxt + (1.0 - alpha) * z
+            z_n = jnp.clip(z_t + y / rho_v, los, his)
+            y_n = y + rho_v * (z_t - z_n)
+            return (x_n, z_n, y_n), None
+
+        (x, z, y), _ = jax.lax.scan(it, (x, z, y), None, length=iters)
+
+        # residuals + OSQP-style rho adaptation
+        Gx = Gs @ x
+        prim = jnp.max(jnp.abs(Gx - z))
+        Px = Ps @ x
+        dual = jnp.max(jnp.abs(Px + qs + Gs.T @ y))
+        prim_rel = prim / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Gx)), jnp.max(jnp.abs(z))), 1e-6
+        )
+        dual_rel = dual / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(qs))), 1e-6
+        )
+        rho_n = jnp.clip(
+            rho_v * jnp.sqrt((prim_rel + 1e-12) / (dual_rel + 1e-12)),
+            1e-6, 1e6,
+        )
+        score = jnp.maximum(prim_rel, dual_rel)
+        if eps > 0.0:
+            done = (prim_rel <= eps) & (dual_rel <= eps)
+            if stall_cap > 0.0:
+                # stall exit (see the kernel twin): near-converged but no
+                # longer improving -> stop and let the polish finish
+                done = done | ((score <= stall_cap)
+                               & (score > stall_ratio * prev_score)
+                               & (prim <= 5e-3))
+        prev_score = score
+        if refactor_band > 1.0:
+            ratio = rho_n / rho_v
+            refac_n = ((ratio > refactor_band)
+                       | (ratio * refactor_band < 1.0)) & jnp.logical_not(done)
+        else:
+            refac_n = jnp.asarray(True)
+        return (k + 1, x, z, y, rho_v, rho_n, refac_n, Minv, prim, dual,
+                done, prev_score)
+
+    # non-scalar/boolean carries seeded from inputs so varying-axis types
+    # line up under shard_map (a constant init would mismatch the varying
+    # loop outputs)
+    carry0 = (
+        jnp.asarray(0, jnp.int32), x, z, y, rho, rho,
+        zero == 0.0, jnp.zeros((n, n), dtype) + zero,
+        jnp.zeros((), dtype) + zero, jnp.zeros((), dtype) + zero,
+        zero > 1.0, jnp.full((), 1e30, dtype) + zero,
     )
-    prim, dual = res_hist[0][-1], res_hist[1][-1]
-    xs, zs, ys, rho = state
+    (k, xs, zs, ys, rho_f, _, _, _, prim, dual, _, _) = jax.lax.while_loop(
+        check_cond, check_body, carry0
+    )
 
     # unscale back to the original problem
     x = d * xs
@@ -299,9 +403,11 @@ def _solve_box_qp_impl(
     if not polish:
         Gx = G @ x
         viol = jnp.max(jnp.maximum(jnp.maximum(Gx - hi, lo - Gx), 0.0))
-        return QPSolution(x, y, jnp.asarray(False), viol, dual)
+        return QPSolution(x, y, jnp.asarray(False), viol, dual,
+                          rho=rho_f, checks=k)
 
-    return _polish_and_select(P, q, G, lo, hi, x, y, prim, dual, act_tol_rel)
+    sol = _polish_and_select(P, q, G, lo, hi, x, y, prim, dual, act_tol_rel)
+    return sol._replace(rho=rho_f, checks=k)
 
 
 def solve_box_qp_batched(
@@ -318,30 +424,71 @@ def solve_box_qp_batched(
     polish: bool = True,
     use_pallas: bool = True,
     interpret: bool = False,
+    warm=None,                  # None | (x0 (B, n), y0 (B, m), rho_w (B,))
+    eps: float = 0.0,
+    refactor_band: float = 0.0,
+    stall_cap: float = 0.0,
+    stall_ratio: float = 0.5,
 ) -> QPSolution:
-    """Natively batched solver: same algorithm as ``solve_box_qp`` but with
-    the ADMM inner loop fused into a Pallas TPU kernel (scenarios in the
-    lane dimension). Factorization, rho adaptation, and polish remain XLA.
-    Falls back to vmapped XLA matvecs when Pallas is unavailable."""
+    """Natively batched solver: same algorithm as ``solve_box_qp``. The
+    Pallas path re-lays the batch into the kernel-native lanes layout and
+    runs the single-launch in-kernel Ruiz + adaptive ADMM + lanes polish
+    (the same kernels as the production ``solve_box_qp_lanes`` pipeline).
+    Falls back to batched XLA matvecs when Pallas is unavailable."""
     with jax.default_matmul_precision("float32"):
         return _solve_box_qp_batched_impl(
             P, q, G, lo, hi, rounds, iters, rho0, sigma, alpha,
-            polish, use_pallas, interpret,
+            polish, use_pallas, interpret, warm, eps, refactor_band,
+            stall_cap, stall_ratio,
         )
 
 
 def _solve_box_qp_batched_impl(
     P, q, G, lo, hi, rounds, iters, rho0, sigma, alpha,
-    polish, use_pallas, interpret,
+    polish, use_pallas, interpret, warm=None, eps=0.0, refactor_band=0.0,
+    stall_cap=0.0, stall_ratio=0.5,
 ) -> QPSolution:
-    from ..ops.admm_pallas import (
-        LANES,
-        admm_all_rounds_pallas,
-    )
+    from ..ops.admm_pallas import LANES
 
     B, n = q.shape
     m = lo.shape[1]
     dtype = q.dtype
+
+    pad = 0
+    if use_pallas and B % LANES != 0:
+        pad = LANES - B % LANES
+
+    if use_pallas:
+        # re-lay into the kernel-native lanes layout and run the unified
+        # production pipeline: in-kernel Ruiz + warm-started adaptive ADMM
+        # (one launch) + the two-attempt lanes polish (one launch)
+        def padd(a):
+            # repeat the last row: works for any pad, including pad > B
+            # (e.g. an 8-ego multi-ego tick on the 128-lane kernel)
+            return (jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], 0)
+                    if pad else a)
+
+        Bp = B + pad
+        Bt = Bp // LANES
+
+        def t_mat(a, r, cdim):
+            return a.reshape(Bt, LANES, r, cdim).transpose(0, 2, 3, 1)
+
+        def t_vec(a, r):
+            return a.reshape(Bt, LANES, r).transpose(0, 2, 1)
+
+        warm_p = None
+        if warm is not None:
+            x0, y0, rho_w = warm
+            warm_p = (padd(x0), padd(y0), padd(rho_w))
+        return solve_box_qp_lanes(
+            t_mat(padd(P), n, n), t_vec(padd(q), n),
+            t_mat(padd(G), m, n), t_vec(padd(lo), m), t_vec(padd(hi), m),
+            B0=B, rounds=rounds, iters=iters, rho0=rho0, sigma=sigma,
+            alpha=alpha, interpret=interpret, warm=warm_p, eps=eps,
+            refactor_band=refactor_band, polish=polish,
+            stall_cap=stall_cap, stall_ratio=stall_ratio,
+        )
 
     d, e, c = jax.vmap(_ruiz_equilibrate)(P, q, G)
     Ps = (c[:, None, None] * d[:, :, None]) * P * d[:, None, :]
@@ -350,75 +497,67 @@ def _solve_box_qp_batched_impl(
     los = e * lo
     his = e * hi
 
-    x = jnp.zeros((B, n), dtype)
-    z = jnp.clip(jnp.zeros((B, m), dtype), los, his)
-    y = jnp.zeros((B, m), dtype)
-    rho = jnp.full((B,), rho0, dtype)
+    if warm is None:
+        x = jnp.zeros((B, n), dtype)
+        y = jnp.zeros((B, m), dtype)
+        rho = jnp.full((B,), rho0, dtype)
+    else:
+        x0, y0, rho_w = warm
+        x = x0 / d
+        y = (c[:, None] * y0) / e
+        rho = rho_w.astype(dtype)
+    z = jnp.clip(jnp.einsum("bmn,bn->bm", Gs, x), los, his)
 
-    pad = 0
-    if use_pallas and B % LANES != 0:
-        pad = LANES - B % LANES
+    # seeded from inputs for shard_map varying-axis alignment
+    eye = jnp.eye(n, dtype=dtype) + q[0, 0] * 0.0
 
-    eye = jnp.eye(n, dtype=dtype)
-
-    if use_pallas:
-        # the ENTIRE ADMM phase — every round's factorization (lanes
-        # Cholesky + explicit inverse), inner iterations, residuals, and
-        # the rho rule — as ONE Pallas launch: P/G stream from HBM once
-        # instead of once per round (137 MB/round at B=4096, PROFILE_r03)
-        def padd(a):
-            # repeat the last row: works for any pad, including pad > B
-            # (e.g. an 8-ego multi-ego tick on the 128-lane kernel)
-            return (jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], 0)
-                    if pad else a)
-
-        xp, zp, yp, prim_p, dual_p = admm_all_rounds_pallas(
-            padd(Ps), padd(Gs), padd(qs), padd(los), padd(his),
-            padd(rho), padd(x), padd(z), padd(y),
-            rounds, iters, sigma, alpha, interpret=interpret,
-        )
-        x = xp[:B].astype(dtype)
-        z = zp[:B].astype(dtype)
-        y = yp[:B].astype(dtype)
-        prim = prim_p[:B].astype(dtype)
-        dual = dual_p[:B].astype(dtype)
-        # unscale
-        x = d * x
-        y = (e * y) / c[:, None]
-        return _finish_batched(
-            P, q, G, lo, hi, x, y, prim, dual, polish,
-            use_pallas, interpret, pad, dtype,
-        )
-
-    def round_body(carry, _):
-        x, z, y, rho = carry
-
-        # XLA fallback path (non-TPU backends)
+    def factorize(rho):
         GtG = jnp.einsum("bmn,bmk->bnk", Gs, Gs)
         M = Ps + sigma * eye[None] + rho[:, None, None] * GtG
         L = jnp.linalg.cholesky(M)
-        Minv = jax.scipy.linalg.cho_solve((L, True), jnp.broadcast_to(eye, (B, n, n)))
+        return jax.scipy.linalg.cho_solve(
+            (L, True), jnp.broadcast_to(eye, (B, n, n)))
+
+    # Per-SCENARIO adaptive policy, mirroring the kernel's per-lane one
+    # (and the vmapped single-scenario solver): each row freezes at its
+    # own convergence, tracks its own rho, refactorizes on its own drift.
+    def check_cond(carry):
+        (k, x, z, y, rho_f, rho_p, refac, conv, Minv,
+         prim, dual, checks_v, prev_score) = carry
+        return (k < rounds) & jnp.logical_not(jnp.all(conv))
+
+    def check_body(carry):
+        (k, x, z, y, rho_f, rho_p, refac, conv, Minv,
+         prim, dual, checks_v, prev_score) = carry
+        rho_v = jnp.where(refac, rho_p, rho_f)
+        Minv = jax.lax.cond(
+            jnp.any(refac), lambda: factorize(rho_v), lambda: Minv)
+        checks_v = checks_v + jnp.logical_not(conv).astype(dtype)
+        frz = conv[:, None]
 
         def it(carry, _):
             x, z, y = carry
-            t = rho[:, None] * z - y
+            t = rho_v[:, None] * z - y
             rhs = sigma * x - qs + jnp.einsum("bmn,bm->bn", Gs, t)
             xt = jnp.einsum("bnk,bk->bn", Minv, rhs)
             Gxt = jnp.einsum("bmn,bn->bm", Gs, xt)
             xn = alpha * xt + (1 - alpha) * x
             zt = alpha * Gxt + (1 - alpha) * z
-            zn = jnp.clip(zt + y / rho[:, None], los, his)
-            yn = y + rho[:, None] * (zt - zn)
-            return (xn, zn, yn), None
+            zn = jnp.clip(zt + y / rho_v[:, None], los, his)
+            yn = y + rho_v[:, None] * (zt - zn)
+            return (jnp.where(frz, x, xn), jnp.where(frz, z, zn),
+                    jnp.where(frz, y, yn)), None
 
         (x, z, y), _ = jax.lax.scan(it, (x, z, y), None, length=iters)
 
         # residuals + rho adaptation (per scenario)
         Gx = jnp.einsum("bmn,bn->bm", Gs, x)
-        prim = jnp.max(jnp.abs(Gx - z), axis=1)
+        prim_n = jnp.max(jnp.abs(Gx - z), axis=1)
         Px = jnp.einsum("bnk,bk->bn", Ps, x)
         Gty = jnp.einsum("bmn,bm->bn", Gs, y)
-        dual = jnp.max(jnp.abs(Px + qs + Gty), axis=1)
+        dual_n = jnp.max(jnp.abs(Px + qs + Gty), axis=1)
+        prim = jnp.where(conv, prim, prim_n)
+        dual = jnp.where(conv, dual, dual_n)
         prim_rel = prim / jnp.maximum(
             jnp.maximum(jnp.max(jnp.abs(Gx), axis=1), jnp.max(jnp.abs(z), axis=1)),
             1e-6,
@@ -428,23 +567,52 @@ def _solve_box_qp_batched_impl(
             1e-6,
         )
         rho_n = jnp.clip(
-            rho * jnp.sqrt((prim_rel + 1e-12) / (dual_rel + 1e-12)), 1e-6, 1e6
+            rho_v * jnp.sqrt((prim_rel + 1e-12) / (dual_rel + 1e-12)), 1e-6, 1e6
         )
-        return (x, z, y, rho_n), (prim, dual)
+        rho_f = jnp.where(conv, rho_f, rho_v)
+        rho_p = jnp.where(conv, rho_p, rho_n)
+        score = jnp.maximum(prim_rel, dual_rel)
+        if eps > 0.0:
+            conv_now = (prim_rel <= eps) & (dual_rel <= eps)
+            if stall_cap > 0.0:
+                # stall exit (see the kernel twin)
+                conv_now = conv_now | ((score <= stall_cap)
+                                       & (score > stall_ratio * prev_score)
+                                       & (prim <= 5e-3))
+            conv = conv | conv_now
+        prev_score = jnp.where(conv, prev_score, score)
+        if refactor_band > 1.0:
+            ratio = rho_n / rho_v
+            refac_n = (
+                (ratio > refactor_band) | (ratio * refactor_band < 1.0)
+            ) & jnp.logical_not(conv)
+        else:
+            refac_n = jnp.logical_not(conv)
+        return (k + 1, x, z, y, rho_f, rho_p, refac_n, conv, Minv,
+                prim, dual, checks_v, prev_score)
 
-    (x, z, y, rho), (prims, duals) = jax.lax.scan(
-        round_body, (x, z, y, rho), None, length=rounds
+    # seeded from inputs for shard_map varying-axis alignment (see the
+    # single-scenario twin)
+    zeroB = q[:, 0] * 0.0
+    falseB = zeroB > 1.0
+    carry0 = (
+        jnp.asarray(0, jnp.int32), x, z, y, rho, rho,
+        jnp.logical_not(falseB), falseB,
+        jnp.zeros((B, n, n), dtype) + zeroB[:, None, None],
+        zeroB, zeroB, zeroB, zeroB + 1e30,
     )
-    prim, dual = prims[-1], duals[-1]
+    (k, x, z, y, rho_f, _, _, _, _, prim, dual, checks_v, _) = (
+        jax.lax.while_loop(check_cond, check_body, carry0))
 
     # unscale
     x = d * x
     y = (e * y) / c[:, None]
 
-    return _finish_batched(
+    sol = _finish_batched(
         P, q, G, lo, hi, x, y, prim, dual, polish,
         use_pallas, interpret, pad, dtype,
     )
+    return sol._replace(rho=rho_f, checks=checks_v)
 
 
 def _finish_batched(P, q, G, lo, hi, x, y, prim, dual, polish,
@@ -491,26 +659,41 @@ def solve_box_qp_lanes(
     sigma: float = 1e-6,
     alpha: float = 1.6,
     interpret: bool = False,
+    warm=None,                  # None | (x0, y0, rho_w) padded to Bt*LANES
+    eps: float = 0.0,
+    refactor_band: float = 0.0,
+    polish: bool = True,
+    stall_cap: float = 0.0,
+    stall_ratio: float = 0.5,
 ) -> QPSolution:
-    """Fully lanes-resident solve: in-kernel Ruiz + all ADMM rounds (one
-    launch) then the two-attempt polish (one launch), with the big QP
-    tensors never leaving the kernel-native layout. Polish is mandatory on
-    this path (it produces the reported primal residual)."""
+    """Fully lanes-resident solve: in-kernel Ruiz + warm-started adaptive
+    ADMM (one launch) then the two-attempt polish (one launch), with the
+    big QP tensors never leaving the kernel-native layout. ``warm`` is the
+    previous tick's (x, y, rho) in standard (B, ...) layout, padded to a
+    full lane block; the returned ``rho`` feeds the next tick's warm."""
     from ..ops.admm_pallas import (
         polish_select_pallas_lanes,
         ruiz_admm_all_rounds_pallas,
     )
 
     with jax.default_matmul_precision("float32"):
-        x, y, prim, dual = ruiz_admm_all_rounds_pallas(
+        x, y, prim, dual, rho_f, checks = ruiz_admm_all_rounds_pallas(
             P_l, G_l, q_l, lo_l, hi_l, rounds, iters, rho0, sigma, alpha,
-            interpret=interpret,
+            interpret=interpret, warm=warm, eps=eps,
+            refactor_band=refactor_band,
+            stall_cap=stall_cap, stall_ratio=stall_ratio,
         )
+        if not polish:
+            return QPSolution(
+                x[:B0], y[:B0], jnp.zeros((B0,), bool), prim[:B0], dual[:B0],
+                rho=rho_f[:B0], checks=checks[:B0],
+            )
         xp, yp, ok, prim_out = polish_select_pallas_lanes(
             P_l, G_l, q_l, lo_l, hi_l, x, y, prim, act_tol_rel=1e-4,
             interpret=interpret,
         )
-    return QPSolution(xp[:B0], yp[:B0], ok[:B0], prim_out[:B0], dual[:B0])
+    return QPSolution(xp[:B0], yp[:B0], ok[:B0], prim_out[:B0], dual[:B0],
+                      rho=rho_f[:B0], checks=checks[:B0])
 
 
 def kkt_residuals(P, q, G, lo, hi, x, y):

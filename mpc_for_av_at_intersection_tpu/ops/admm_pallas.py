@@ -32,6 +32,14 @@ def _chol_inplace_panel(ref, size: int, panel: int = 8):
     trailing submatrix ref[p0:, p0:] of its panel, cutting total work from
     3*size^3 (full masked updates) to ~size^3. Above-diagonal entries of
     rows < p0 are left stale — every consumer masks to the lower triangle.
+
+    NOTE (divergence from ``jnp.linalg.cholesky``): pivots are clamped with
+    sqrt(max(diag, 1e-30)), so an indefinite/singular input yields large
+    finite values where XLA would produce NaN. The polish caller
+    delta-regularizes its Schur matrix before calling (see
+    ``_polish_kernel``), keeping both paths in the well-posed regime; the
+    polish accept test (violation + objective + finiteness) bounds any
+    residual divergence on degenerate active sets.
     """
     import jax.experimental.pallas as pl
 
@@ -498,27 +506,42 @@ def admm_all_rounds_pallas(
     return (u_vec(xo, n), u_vec(zo, m), u_vec(yo, m), pk[:, 0], pk[:, 1])
 
 
-def _ruiz_admm_kernel(n: int, m: int, ruiz_iters: int, rounds: int,
-                      iters: int, sigma: float, alpha: float, rho0: float,
-                      P, G, q, lo, hi,
+def _ruiz_admm_kernel(n: int, m: int, ruiz_iters: int, max_checks: int,
+                      check_iters: int, sigma: float, alpha: float,
+                      conv_eps: float, band: float,
+                      stall_cap: float, stall_ratio: float,
+                      P, G, q, lo, hi, xw, yw, rho_in,
                       xo, yo, po,
                       Ps_ref, Gs_ref, M_ref, Y_ref, Mi_ref):
-    """Ruiz equilibration + the complete ADMM phase on UNSCALED inputs.
+    """Ruiz equilibration + the complete ADMM phase on UNSCALED inputs,
+    with warm starting and residual-driven adaptive iteration.
 
     The modified-Ruiz recurrence (``mpc/qp.py::_ruiz_equilibrate``) runs
     in-kernel without materializing scaled matrices: |Ps| column maxima
     factor as c * d_j * max_i(d_i |P[i,j]|), so each iteration is two
     broadcast-reduce passes over P and G. The scaled Ps/Gs are written to
-    VMEM scratch once at the end and the multi-round ADMM body (same
-    recurrence as ``_multi_round_kernel``) runs against them; x/y are
-    unscaled before the final store. One launch replaces XLA Ruiz (7.4 ms
-    at B=4096, PROFILE_r04) + scaling materialization + a round of layout
-    transposes."""
+    VMEM scratch once at the end; x/y are unscaled before the final store.
+
+    Iteration control (round-5): up to ``max_checks`` blocks of
+    ``check_iters`` fused iterations run under a ``lax.while_loop``; after
+    each block the kernel computes the relative primal/dual residuals and
+    - exits early once EVERY lane satisfies both < ``conv_eps``
+      (``conv_eps == 0`` disables — fixed budget, the round-4 behavior),
+    - applies the OSQP rho rule, but refactorizes (M build + lanes
+      Cholesky + explicit inverse, under ``pl.when``) only when some
+      lane's suggested rho drifted outside ``[1/band, band]`` of the
+      factored rho (``band <= 1`` -> refactor every block, the round-4
+      behavior). This is OSQP's direct-solver rho policy.
+
+    Warm start: xw/yw are an UNSCALED primal/dual guess (zeros = cold) and
+    ``rho_in`` the starting rho — in closed-loop MPC the previous control
+    tick's solution (reference intent: ``main/lib/mpc.py:222-224``, which
+    warm-starts the linearization controls the same way). z is re-derived
+    in-kernel as clip(Gs xs, lo, hi), so the carried state is just (x, y,
+    rho). With cold inputs the math is identical to the round-4 kernel."""
     import jax.experimental.pallas as pl
 
     f32 = jnp.float32
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
     rvec_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
     P0 = P[0]                                  # (n, n, 128)
@@ -567,9 +590,8 @@ def _ruiz_admm_kernel(n: int, m: int, ruiz_iters: int, rounds: int,
     def mvT(Mat, w):
         return jnp.sum(Mat * w[:, None, :], axis=0)
 
-    def round_body(carry):
-        x, z, y, rho_v = carry
-
+    def factorize(rho_v):
+        """M = Ps + sigma I + rho Gs'Gs -> lanes Cholesky -> Minv."""
         def build_row(i, cc):
             gi = Gs_ref[:, pl.ds(i, 1), :]                   # (m, 1, 128)
             gtg_i = jnp.sum(Gsv * gi, axis=0)                # (n, 128)
@@ -590,7 +612,41 @@ def _ruiz_admm_kernel(n: int, m: int, ruiz_iters: int, rounds: int,
         _tri_inverse_fsub(M_ref, Y_ref, n)
         _gram_from_y(Y_ref, Mi_ref, n)
 
+    # warm start, scaled into the equilibrated problem
+    x0 = xw[0] / d
+    y0 = (c[None, :] * yw[0]) / e
+    z0 = jnp.clip(mv(Gsv, x0), los, his)
+    rho0_v = rho_in[0][0]                      # (128,)
+
+    # Per-LANE adaptive policy, exactly mirroring the per-scenario XLA
+    # twin under vmap (tested equivalence engine-fleet vs vmapped-engine
+    # depends on it): each lane freezes its iterate the moment IT
+    # converges, tracks its own rho, and refactorizes on its own drift.
+    # The factorization is lanes-parallel math, so a group rebuild (fired
+    # when ANY lane wants one) recomputes unchanged lanes bit-identically.
+    # NOTE: the convergence / refactorization masks ride the carry as f32
+    # (0/1) vectors — Mosaic cannot legalize vector<i1> while-carries
+    # ("failed to legalize operation 'scf.yield'")
+    def check_cond(carry):
+        (k, x, z, y, rho_f, rho_p, refac_f, conv_f,
+         prim, dual, checks_v, prev_score) = carry
+        return (k < max_checks) & (jnp.min(conv_f) < 0.5)
+
+    def check_body(carry):
+        (k, x, z, y, rho_f, rho_p, refac_f, conv_f,
+         prim, dual, checks_v, prev_score) = carry
+        refac_v = refac_f > 0.5
+        conv = conv_f > 0.5
+
+        rho_v = jnp.where(refac_v, rho_p, rho_f)
+
+        @pl.when(jnp.max(refac_f) > 0.5)
+        def _():
+            factorize(rho_v)
+
         Minv = Mi_ref[:]
+        checks_v = checks_v + (1.0 - conv_f)
+        frz = conv[None, :]                    # freeze converged lanes
 
         def it(_, cc):
             x, z, y = cc
@@ -602,14 +658,17 @@ def _ruiz_admm_kernel(n: int, m: int, ruiz_iters: int, rounds: int,
             zt = alpha * Gxt + (1.0 - alpha) * z
             zn = jnp.clip(zt + y / rho_v[None, :], los, his)
             yn = y + rho_v[None, :] * (zt - zn)
-            return xn, zn, yn
+            return (jnp.where(frz, x, xn), jnp.where(frz, z, zn),
+                    jnp.where(frz, y, yn))
 
-        x, z, y = jax.lax.fori_loop(0, iters, it, (x, z, y))
+        x, z, y = jax.lax.fori_loop(0, check_iters, it, (x, z, y))
 
         Gx = mv(Gsv, x)
-        prim = jnp.max(jnp.abs(Gx - z), axis=0)
+        prim_n = jnp.max(jnp.abs(Gx - z), axis=0)
         Px = mv(Psv, x)
-        dual = jnp.max(jnp.abs(Px + qs + mvT(Gsv, y)), axis=0)
+        dual_n = jnp.max(jnp.abs(Px + qs + mvT(Gsv, y)), axis=0)
+        prim = jnp.where(conv, prim, prim_n)
+        dual = jnp.where(conv, dual, dual_n)
         prim_rel = prim / jnp.maximum(jnp.maximum(
             jnp.max(jnp.abs(Gx), axis=0), jnp.max(jnp.abs(z), axis=0)), 1e-6)
         dual_rel = dual / jnp.maximum(jnp.maximum(
@@ -618,26 +677,50 @@ def _ruiz_admm_kernel(n: int, m: int, ruiz_iters: int, rounds: int,
             rho_v * jnp.sqrt((prim_rel + 1e-12) / (dual_rel + 1e-12)),
             1e-6, 1e6,
         )
-        return x, z, y, rho_n, prim, dual
+        rho_f = jnp.where(conv, rho_f, rho_v)
+        rho_p = jnp.where(conv, rho_p, rho_n)
+        score = jnp.maximum(prim_rel, dual_rel)
+        if conv_eps > 0.0:
+            conv_now = (prim_rel <= conv_eps) & (dual_rel <= conv_eps)
+            if stall_cap > 0.0:
+                # stall exit: ~10% of fp32 instances noise-floor above
+                # eps and would otherwise pin their whole lane group at
+                # the check cap (and its per-check refactorizations) —
+                # once a lane is near-converged (<= stall_cap) and no
+                # longer improving by 1/stall_ratio per block, stop and
+                # let the polish finish the job (OSQP's polish plays the
+                # same role after its fixed iteration budget)
+                stalled = (score <= stall_cap) & (
+                    score > stall_ratio * prev_score) & (prim <= 5e-3)
+                conv_now = conv_now | stalled
+            conv = conv | conv_now
+        prev_score = jnp.where(conv, prev_score, score)
+        if band > 1.0:
+            ratio = rho_n / rho_v
+            refac_v = ((ratio > band) | (ratio * band < 1.0)) & (
+                jnp.logical_not(conv))
+        else:
+            refac_v = jnp.logical_not(conv)
+        return (k + 1, x, z, y, rho_f, rho_p, refac_v.astype(f32),
+                conv.astype(f32), prim, dual, checks_v, prev_score)
 
-    def outer(r, carry):
-        x, z, y, rho_v, _, _ = carry
-        x, z, y, rho_n, prim, dual = round_body((x, z, y, rho_v))
-        return x, z, y, rho_n, prim, dual
-
-    zero128 = jnp.zeros((LANES,), f32)
-    x0 = jnp.zeros((n, LANES), f32)
-    z0 = jnp.clip(jnp.zeros((m, LANES), f32), los, his)
-    y0 = jnp.zeros((m, LANES), f32)
-    x, z, y, rho_v, prim, dual = jax.lax.fori_loop(
-        0, rounds, outer,
-        (x0, z0, y0, jnp.full((LANES,), rho0, f32), zero128, zero128),
+    # carry seeded from DATA (not constants): Mosaic lays out constant
+    # vectors as lane-replicated, which then fails the while-carry layout
+    # join against the loop body's non-replicated outputs ("Invalid
+    # relayout ... replicated in destination but not in source")
+    zero128 = rho0_v * 0.0
+    carry0 = (
+        jnp.asarray(0, jnp.int32), x0, z0, y0,
+        rho0_v, rho0_v, zero128 + 1.0, zero128,
+        zero128, zero128, zero128, zero128 + f32(1e30),
     )
+    (k, x, z, y, rho_f, _, _, _, prim, dual, checks_v, _) = (
+        jax.lax.while_loop(check_cond, check_body, carry0))
 
     # unscale back to the original problem
     xo[0] = d * x
     yo[0] = (e * y) / c[None, :]
-    po[0] = jnp.stack([prim, dual], axis=0)
+    po[0] = jnp.stack([prim, dual, rho_f, checks_v], axis=0)
 
 
 def ruiz_admm_all_rounds_pallas(
@@ -653,16 +736,37 @@ def ruiz_admm_all_rounds_pallas(
     alpha: float,
     ruiz_iters: int = 10,
     interpret: bool = False,
+    warm=None,              # None | (x0 (B, n), y0 (B, m), rho_w (B,))
+    eps: float = 0.0,       # relative residual early-exit tol (0 = off)
+    refactor_band: float = 0.0,  # rho drift band (<= 1 = refactor always)
+    stall_cap: float = 0.0,      # stall-exit score cap (0 = off)
+    stall_ratio: float = 0.5,    # min per-block improvement factor
 ):
     """Ruiz + the complete ADMM phase on lanes-layout UNSCALED inputs.
-    Returns (x (B, n), y (B, m), prim (B,), dual (B,)) with x/y already
-    unscaled to the original problem."""
+    Returns (x (B, n), y (B, m), prim (B,), dual (B,), rho (B,),
+    checks (B,)) with x/y already unscaled to the original problem;
+    ``rho`` is the final (scaled-problem) penalty — carry it into the next
+    tick's ``warm`` — and ``checks`` the number of ``iters``-sized blocks
+    actually executed (early exit at ``eps``; see ``_ruiz_admm_kernel``)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     Bt, n = P_l.shape[0], P_l.shape[1]
     m = G_l.shape[1]
     B = Bt * LANES
+
+    def t_vec(a, r):
+        return a.reshape(Bt, LANES, r).transpose(0, 2, 1)
+
+    if warm is None:
+        xw = jnp.zeros((Bt, n, LANES), jnp.float32)
+        yw = jnp.zeros((Bt, m, LANES), jnp.float32)
+        rw = jnp.full((Bt, 1, LANES), float(rho0), jnp.float32)
+    else:
+        x0, y0, rho_w = warm
+        xw = t_vec(x0, n)
+        yw = t_vec(y0, m)
+        rw = rho_w.reshape(Bt, 1, LANES)
 
     def spec(shape):
         return pl.BlockSpec(
@@ -673,19 +777,21 @@ def ruiz_admm_all_rounds_pallas(
     in_specs = [
         spec((n, n, LANES)), spec((m, n, LANES)),
         spec((n, LANES)), spec((m, LANES)), spec((m, LANES)),
+        spec((n, LANES)), spec((m, LANES)), spec((1, LANES)),
     ]
     out_specs = (
-        spec((n, LANES)), spec((m, LANES)), spec((2, LANES)),
+        spec((n, LANES)), spec((m, LANES)), spec((4, LANES)),
     )
     out_shape = (
         jax.ShapeDtypeStruct((Bt, n, LANES), jnp.float32),
         jax.ShapeDtypeStruct((Bt, m, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((Bt, 2, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((Bt, 4, LANES), jnp.float32),
     )
 
     kern = functools.partial(
         _ruiz_admm_kernel, n, m, int(ruiz_iters), int(rounds), int(iters),
-        float(sigma), float(alpha), float(rho0))
+        float(sigma), float(alpha), float(eps), float(refactor_band),
+        float(stall_cap), float(stall_ratio))
     xo, yo, po = pl.pallas_call(
         kern,
         grid=(Bt,),
@@ -703,13 +809,15 @@ def ruiz_admm_all_rounds_pallas(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(*[a.astype(jnp.float32) for a in (P_l, G_l, q_l, lo_l, hi_l)])
+    )(*[a.astype(jnp.float32)
+        for a in (P_l, G_l, q_l, lo_l, hi_l, xw, yw, rw)])
 
     def u_vec(a, r):
         return a.transpose(0, 2, 1).reshape(B, r)
 
-    pk = u_vec(po, 2)
-    return u_vec(xo, n), u_vec(yo, m), pk[:, 0], pk[:, 1]
+    pk = u_vec(po, 4)
+    return (u_vec(xo, n), u_vec(yo, m),
+            pk[:, 0], pk[:, 1], pk[:, 2], pk[:, 3])
 
 
 def _tri_inverse_fsub(L_ref, Y_ref, size: int):
@@ -751,7 +859,7 @@ def _gram_from_y(Y_ref, out_ref, size: int):
 def _polish_kernel(n: int, m: int, act_tol_rel: float,
                    P, G, q, lo, hi, x0, y0, prim0,
                    xo, yo, po,
-                   Lp_ref, Y_ref, Vt_ref, S_ref):
+                   Lp_ref, Y_ref, Vt_ref, S_ref, X2_ref, Y2_ref, ok2_ref):
     """Two-attempt active-set polish for 128 scenarios, entirely in VMEM.
 
     Semantic twin of ``mpc.qp._polish_and_select`` (the XLA path): factor P
@@ -846,6 +954,17 @@ def _polish_kernel(n: int, m: int, act_tol_rel: float,
             return _
 
         jax.lax.fori_loop(0, m, s_row, 0)
+        # OSQP-style delta regularization (twin of ``_polish_masks``): a
+        # degenerate active set makes S singular; without the ridge the
+        # clamped-pivot lanes-Cholesky below would produce large finite
+        # garbage rather than the NaN the XLA path produces (ADVICE r4
+        # #2) — the ridge keeps both paths in the same well-posed regime
+        # and the refinement pass recovers the accuracy.
+        Sv = S_ref[:]
+        diag = jnp.sum(jnp.where(row_m == col_m, Sv, 0.0), axis=1)  # (m,128)
+        reg = 1e-7 * jnp.maximum(jnp.max(diag, axis=0), 1.0)        # (128,)
+        S_ref[:] = Sv + jnp.where(
+            row_m == col_m, reg[None, None, :], 0.0)
         chol_inplace(S_ref, m, row_m, col_m, rvec_m)
 
         def kkt_solve(r1, r2):
@@ -878,12 +997,30 @@ def _polish_kernel(n: int, m: int, act_tol_rel: float,
     tol = act_tol_rel * y_scale[None, :]
     xp1, yp1, ok1 = attempt(yin < -tol, yin > tol)
 
-    # attempt 2: primal-proximity-identified active set
-    row_span = jnp.maximum(jnp.maximum(jnp.abs(lov), jnp.abs(hiv)), 1.0)
-    ptol = 1e-3 * row_span
-    near_lo = (Gx - lov <= ptol) & (Gx - lov <= hiv - Gx)
-    near_hi = (hiv - Gx <= ptol) & (hiv - Gx < Gx - lov)
-    xp2, yp2, ok2 = attempt(near_lo, near_hi)
+    # attempt 2: primal-proximity-identified active set — predicated on
+    # some lane actually needing the rescue. With cross-tick warm starts
+    # the ADMM duals are near-exact and attempt 1 accepts every lane on
+    # most production ticks, skipping the second S build + Cholesky +
+    # double KKT solve entirely. Results are bit-identical either way
+    # (lanes with ok1 never select the attempt-2 values).
+    X2_ref[:] = xin
+    Y2_ref[:] = yin
+    ok2_ref[:] = jnp.zeros((1, LANES), f32)
+
+    @pl.when(jnp.min(ok1.astype(f32)) < 0.5)
+    def _():
+        row_span = jnp.maximum(jnp.maximum(jnp.abs(lov), jnp.abs(hiv)), 1.0)
+        ptol = 1e-3 * row_span
+        near_lo = (Gx - lov <= ptol) & (Gx - lov <= hiv - Gx)
+        near_hi = (hiv - Gx <= ptol) & (hiv - Gx < Gx - lov)
+        xp2, yp2, ok2 = attempt(near_lo, near_hi)
+        X2_ref[:] = xp2
+        Y2_ref[:] = yp2
+        ok2_ref[:] = ok2.astype(f32)[None, :]
+
+    xp2 = X2_ref[:]
+    yp2 = Y2_ref[:]
+    ok2 = ok2_ref[:][0] > 0.5
 
     ok = ok1 | ok2
     x_out = jnp.where(ok1[None, :], xp1, jnp.where(ok2[None, :], xp2, xin))
@@ -1007,6 +1144,9 @@ def _polish_call(n, m, Bt, ins, act_tol_rel, interpret):
             pltpu.VMEM((n, n, LANES), jnp.float32),   # Y = Lp^-1
             pltpu.VMEM((m, n, LANES), jnp.float32),   # Vt = G Y'
             pltpu.VMEM((m, m, LANES), jnp.float32),   # S / chol(S)
+            pltpu.VMEM((n, LANES), jnp.float32),      # attempt-2 x
+            pltpu.VMEM((m, LANES), jnp.float32),      # attempt-2 y
+            pltpu.VMEM((1, LANES), jnp.float32),      # attempt-2 ok
         ],
         # blocks + scratch + the S-Cholesky's full-matrix stack temps
         # exceed the 16 MB default scoped-VMEM budget at (n, m) = (40, 79);

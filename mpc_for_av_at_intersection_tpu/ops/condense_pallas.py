@@ -32,18 +32,19 @@ import numpy as np
 from .admm_pallas import LANES
 
 
-def _kernel(T: int, consts: tuple,
+def _kernel(T: int, jerk: bool, consts: tuple,
             state, oa, od, xref, re,
             P_out, q_out, G_out, lo_out, hi_out, F_out, g_out):
     import jax.experimental.pallas as pl
 
     (dt, L, w_perp, w_para, q_v, q_yaw, qf0, qf1, qf2, qf3,
      end_w, r_accel, r_steer, rd_accel, rd_steer,
-     min_speed, max_speed, max_decel, max_accel, max_steer, rate_lim) = consts
+     min_speed, max_speed, max_decel, max_accel, max_steer, rate_lim,
+     jerk_w) = consts
 
     f32 = jnp.float32
-    n = 2 * T
-    nx = 4
+    n = 2 * T + 1 if jerk else 2 * T
+    nx = 5 if jerk else 4
     m = 4 * T - 1
     rvec_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
@@ -59,11 +60,16 @@ def _kernel(T: int, consts: tuple,
     v = row(st, 2)
     yaw = row(st, 3)
 
-    # F rows (n, 128) and affine offsets (128,) — x_t = F_t u + g_t
+    # F rows (n, 128) and affine offsets (128,) — x_t = F_t u + g_t.
+    # Jerk variant (nx=5, ``mpc/jerk.py::condense_jerk``): decision vector
+    # [u_flat; a0], so the accel-state row starts as the a0 indicator; the
+    # a-state's affine offset is identically zero (x0_5[4] = 0, C[4] = 0),
+    # which collapses the jerk penalty to a static dt^2-diagonal (below).
     xr = jnp.zeros((n, LANES), f32)
     yr = jnp.zeros((n, LANES), f32)
     vr = jnp.zeros((n, LANES), f32)
     wr = jnp.zeros((n, LANES), f32)
+    ar = (rvec_n == 2 * T).astype(f32) * jnp.ones((1, LANES), f32)
     gx = row(st, 0)
     gy = row(st, 1)
     gv = v
@@ -84,13 +90,16 @@ def _kernel(T: int, consts: tuple,
         yr_n = yr + dt * sphi[None, :] * vr + dt * (vb * cphi)[None, :] * wr
         ea = (rvec_n == 2 * t).astype(f32)
         ed = (rvec_n == 2 * t + 1).astype(f32)
-        vr_n = vr + dt * ea
+        vr_n = vr + dt * ea + (dt * ar if jerk else 0.0)
         wr_n = wr + (dt / L) * vb[None, :] * ed
         gx_n = gx + dt * cphi * gv - dt * vb * sphi * gw + dt * vb * sphi * phib
         gy_n = gy + dt * sphi * gv + dt * vb * cphi * gw - dt * vb * cphi * phib
-        # gv, gw rows of A are identity with zero C -> constant
+        # gv, gw rows of A are identity with zero C -> constant (jerk: gv
+        # gains dt * ga per step, but ga stays 0)
 
         xr, yr, vr, wr, gx, gy = xr_n, yr_n, vr_n, wr_n, gx_n, gy_n
+        if jerk:
+            ar = ar + dt * ea          # a_{t+1} = a_t + dt u0_t
 
         # plant step (reference ordering quirk: pose uses pre-update v)
         delta = jnp.clip(row(odv, t), -max_steer, max_steer)
@@ -106,6 +115,9 @@ def _kernel(T: int, consts: tuple,
         g_out[0, pl.ds(nx * t + 1, 1)] = gy[None]
         g_out[0, pl.ds(nx * t + 2, 1)] = gv[None]
         g_out[0, pl.ds(nx * t + 3, 1)] = gw[None]
+        if jerk:
+            F_out[0, pl.ds(nx * t + 4, 1)] = ar[None]
+            g_out[0, pl.ds(nx * t + 4, 1)] = jnp.zeros((1, LANES), f32)
 
         # tracking cost block for slot t+1 (end-switch per lane)
         ryaw = row(xr_ref, 3 * (T + 1) + t + 1)
@@ -156,14 +168,25 @@ def _kernel(T: int, consts: tuple,
 
     # static patterns built from iotas (Mosaic kernels cannot capture
     # traced constants): input-rate Hessian Dm' Rd Dm, input-cost diagonal,
-    # box/rate constraint rows
+    # box/rate constraint rows. Masks address the u block (cols < 2T)
+    # explicitly so the jerk variant's trailing a0 column stays untouched
+    # (for n = 2T they reduce to the canonical patterns).
+    ub = 2 * T
     I3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
     J3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
     rd_I = jnp.where(I3 % 2 == 0, f32(rd_accel), f32(rd_steer))
-    diag_val = (rd_I * (I3 <= n - 3).astype(f32)
-                + rd_I * (I3 >= 2).astype(f32))
+    diag_val = (rd_I * (I3 <= ub - 3).astype(f32)
+                + rd_I * ((I3 >= 2) & (I3 < ub)).astype(f32))
     Prate = (jnp.where(I3 == J3, diag_val, 0.0)
-             + jnp.where((J3 == I3 + 2) | (J3 == I3 - 2), -rd_I, 0.0))
+             + jnp.where(((J3 == I3 + 2) | (J3 == I3 - 2)) & (I3 < ub)
+                         & (J3 < ub), -rd_I, 0.0))
+    if jerk:
+        # jerk penalty sum_t (a_{t+1} - a_t)^2, t < T-1: the a-state rows
+        # difference collapses to dt * e_{2t} (a_{t+1} = a_t + dt u0_t and
+        # the affine part is identically zero), i.e. a static diagonal
+        Prate = Prate + jnp.where(
+            (I3 == J3) & (I3 <= ub - 4) & (I3 % 2 == 0),
+            f32(jerk_w * dt * dt), 0.0)
 
     P_out[0] = 2.0 * (P_acc
                       + jnp.where(I3 == J3, 1.0, 0.0) * rdiag[:, None, :]
@@ -231,18 +254,20 @@ def build_qp_pallas(
     interpret: bool = False,
     lanes_out: bool = False,
 ):
-    """Fused rollout+linearize+condense for a batch. Returns a CondensedQP
-    with fields in the standard (B, ...) layout, or a LanesQP (big tensors
-    left in lanes layout) when ``lanes_out``."""
+    """Fused rollout+linearize+condense for a batch (canonical nx=4 and
+    the jerk nx=5 variant — ``mpc/jerk.py::condense_jerk`` semantics, with
+    the extra a0 decision column and the jerk diagonal). Returns a
+    CondensedQP with fields in the standard (B, ...) layout, or a LanesQP
+    (big tensors left in lanes layout) when ``lanes_out``."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from ..mpc.condense import CondensedQP
 
-    assert cfg.nx == 4, "jerk variant keeps the XLA condense path"
+    jerk = bool(cfg.jerk)
     T = cfg.T
-    n = 2 * T
-    nx = 4
+    n = 2 * T + 1 if jerk else 2 * T
+    nx = cfg.nx
     m = 4 * T - 1
     B0 = states.shape[0]
     pad = (LANES - B0 % LANES) % LANES
@@ -265,6 +290,7 @@ def build_qp_pallas(
         float(cfg.min_speed), float(cfg.max_speed),
         float(cfg.max_decel), float(cfg.max_accel), float(cfg.max_steer),
         float(cfg.max_dsteer) * float(cfg.dt),
+        float(cfg.jerk_weight),
     )
 
     def t_vec(a, r):
@@ -303,7 +329,7 @@ def build_qp_pallas(
         jax.ShapeDtypeStruct((Bt, T * nx, LANES), jnp.float32),
     )
 
-    kern = functools.partial(_kernel, T, consts)
+    kern = functools.partial(_kernel, T, jerk, consts)
     P, q, G, lo, hi, F, g = pl.pallas_call(
         kern,
         grid=(Bt,),

@@ -87,3 +87,26 @@ def test_chunked_pre_matches_unchunked():
         np.testing.assert_array_equal(
             np.asarray(tel_b.collision_found), np.asarray(tel_a.collision_found)
         )
+
+
+def test_batched_fleet_builder_matches_loop_builder():
+    """sample_intersection_fleet_batched must reproduce the per-scenario
+    loop builder exactly (same rng -> element-wise identical stacked
+    arrays)."""
+    rng_a = np.random.default_rng(77)
+    rng_b = np.random.default_rng(77)
+    n = 40
+    _, worlds, states, meta_l = api.sample_intersection_fleet(
+        n, rng_a, n_steps=50)
+    wb_ref, sb_ref = stack_worlds(worlds), stack_states(states)
+    _, wb, sb, meta = api.sample_intersection_fleet_batched(
+        n, rng_b, n_steps=50)
+
+    for a, b in zip(jax.tree.leaves(wb_ref), jax.tree.leaves(wb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(sb_ref), jax.tree.leaves(sb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        meta["start_pos"], [m["start_pos"] for m in meta_l])
+    np.testing.assert_array_equal(
+        meta["n_agents"], [m["n_agents"] for m in meta_l])

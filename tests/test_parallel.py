@@ -63,8 +63,8 @@ def test_batched_episodes_sharded_equals_vmap():
     f1, t1, s1 = run_batch_episodes(wb, sb, cfg, geom, 3, mesh=None)
     f2, t2, s2 = run_batch_episodes(wb, sb, cfg, geom, 3, mesh=batch_mesh())
 
-    np.testing.assert_allclose(np.asarray(f1.ego), np.asarray(f2.ego), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(t1.steer), np.asarray(t2.steer), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f1.ego), np.asarray(f2.ego), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t1.steer), np.asarray(t2.steer), atol=2e-5)
     assert int(s1["n_done"]) == int(s2["n_done"])
     assert int(s2["n_unsolved_ticks"]) == int(s1["n_unsolved_ticks"])
 
@@ -76,8 +76,8 @@ def test_batched_episodes_sharded_equals_vmap():
     mesh2 = host_chip_mesh(2)
     assert mesh2.devices.shape == (2, 4)
     f3, t3, s3 = run_batch_episodes(wb, sb, cfg, geom, 3, mesh=mesh2)
-    np.testing.assert_allclose(np.asarray(f1.ego), np.asarray(f3.ego), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(t1.steer), np.asarray(t3.steer), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f1.ego), np.asarray(f3.ego), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t1.steer), np.asarray(t3.steer), atol=2e-5)
     assert int(s3["n_done"]) == int(s1["n_done"])
     assert int(s3["n_unsolved_ticks"]) == int(s1["n_unsolved_ticks"])
 
