@@ -345,22 +345,45 @@ def main():
         )(states, oa0)
         P_l = lq.P_l.block_until_ready()
 
+        checks_n, check_iters, s_eps, s_band, s_cap, s_ratio = (
+            cfg.solver_schedule)
+
         @jax.jit
         def ruiz_admm_chain(P_l_, G_l_, q_l_, lo_l_, hi_l_):
             Bt_ = q_l_.shape[0]
+            Bfull = Bt_ * 128
 
-            def body(q_in, _):
-                x, y, pr, du, _rho, _chk = ruiz_admm_all_rounds_pallas(
+            def body(carry, _):
+                q_in, warm = carry
+                x, y, pr, du, rho, chk = ruiz_admm_all_rounds_pallas(
                     P_l_, G_l_, q_in, lo_l_, hi_l_,
-                    cfg.admm_rounds, cfg.admm_iters, cfg.admm_rho,
-                    cfg.admm_sigma, cfg.admm_alpha)
+                    checks_n, check_iters, cfg.admm_rho,
+                    cfg.admm_sigma, cfg.admm_alpha,
+                    warm=warm, eps=s_eps, refactor_band=s_band,
+                    stall_cap=s_cap, stall_ratio=s_ratio)
                 xl = x.reshape(Bt_, 128, n).transpose(0, 2, 1)
-                return q_in + eps * xl, ()
-            qf, _ = jax.lax.scan(body, q_l_, None, length=K)
-            return qf
+                return (q_in + eps * xl, (x, y, rho)), chk
 
-        t_ruiz_admm = timed("ruiz_admm", ruiz_admm_chain, P_l, lq.G_l,
+            warm0 = (jnp.zeros((Bfull, n), jnp.float32),
+                     jnp.zeros((Bfull, m), jnp.float32),
+                     jnp.full((Bfull,), cfg.admm_rho, jnp.float32))
+            (qf, _), chks = jax.lax.scan(
+                body, (q_l_, warm0), None, length=K)
+            return qf, chks
+
+        def ruiz_admm_run(*a):
+            return ruiz_admm_chain(*a)[0]
+
+        t_ruiz_admm = timed("ruiz_admm", ruiz_admm_run, P_l, lq.G_l,
                             lq.q_l, lq.lo_l, lq.hi_l)
+        # checks histogram: rep 0 is the cold solve, reps 1+ are warm
+        _, chks = jax.jit(ruiz_admm_chain)(P_l, lq.G_l, lq.q_l, lq.lo_l,
+                                           lq.hi_l)
+        chks = np.asarray(chks).astype(int)
+        report["admm_checks_cold_hist"] = np.bincount(
+            chks[0], minlength=checks_n + 1).tolist()
+        report["admm_checks_warm_hist"] = np.bincount(
+            chks[-1], minlength=checks_n + 1).tolist()
     else:
         t_admm_all = 0.0
         report["admm_all_ms"] = None

@@ -995,24 +995,32 @@ def _polish_kernel(n: int, m: int, act_tol_rel: float,
     # attempt 1: dual-identified active set (the OSQP recipe)
     y_scale = jnp.maximum(jnp.max(jnp.abs(yin), axis=0), 1.0)
     tol = act_tol_rel * y_scale[None, :]
-    xp1, yp1, ok1 = attempt(yin < -tol, yin > tol)
+    act_lo1 = yin < -tol
+    act_hi1 = yin > tol
+    xp1, yp1, ok1 = attempt(act_lo1, act_hi1)
 
     # attempt 2: primal-proximity-identified active set — predicated on
-    # some lane actually needing the rescue. With cross-tick warm starts
-    # the ADMM duals are near-exact and attempt 1 accepts every lane on
-    # most production ticks, skipping the second S build + Cholesky +
-    # double KKT solve entirely. Results are bit-identical either way
-    # (lanes with ok1 never select the attempt-2 values).
+    # some lane actually needing the rescue. A lane needs it only when
+    # attempt 1 was rejected AND the primal-identified set differs from
+    # the dual-identified one (equal sets reproduce attempt 1 bit-exactly,
+    # so skipping them cannot change the result). With cross-tick warm
+    # starts the ADMM duals are near-exact and the sets agree on almost
+    # every lane, skipping the second S build + Cholesky + double KKT
+    # solve on most production ticks.
+    row_span = jnp.maximum(jnp.maximum(jnp.abs(lov), jnp.abs(hiv)), 1.0)
+    ptol = 1e-3 * row_span
+    near_lo = (Gx - lov <= ptol) & (Gx - lov <= hiv - Gx)
+    near_hi = (hiv - Gx <= ptol) & (hiv - Gx < Gx - lov)
+    same_set = jnp.all(
+        (near_lo == act_lo1) & (near_hi == act_hi1), axis=0)     # (128,)
+    need2 = jnp.logical_not(ok1) & jnp.logical_not(same_set)
+
     X2_ref[:] = xin
     Y2_ref[:] = yin
     ok2_ref[:] = jnp.zeros((1, LANES), f32)
 
-    @pl.when(jnp.min(ok1.astype(f32)) < 0.5)
+    @pl.when(jnp.max(need2.astype(f32)) > 0.5)
     def _():
-        row_span = jnp.maximum(jnp.maximum(jnp.abs(lov), jnp.abs(hiv)), 1.0)
-        ptol = 1e-3 * row_span
-        near_lo = (Gx - lov <= ptol) & (Gx - lov <= hiv - Gx)
-        near_hi = (hiv - Gx <= ptol) & (hiv - Gx < Gx - lov)
         xp2, yp2, ok2 = attempt(near_lo, near_hi)
         X2_ref[:] = xp2
         Y2_ref[:] = yp2
