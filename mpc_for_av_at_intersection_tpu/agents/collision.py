@@ -88,14 +88,28 @@ def check_collision_moving_cars(
         ego_pose[:, 0], ego_pose[:, 1], ego_pose[:, 2], circle_centers
     )                                                              # (n_c, N_F)
 
-    # shifted obstacle poses: shift s delays by s frames (s<0 advances)
+    # shifted obstacle poses: shift s delays by s frames (s<0 advances).
+    # Circle points are computed once per PREDICTION frame (n_pred) and
+    # expanded to the (S, N_F) shift table by a STATIC one-hot matmul —
+    # `src` depends only on compile-time constants, so the gather the MXU
+    # replaces (and the 35x-redundant trig) cost nothing at trace time.
+    # One-hot rows sum exactly one input element: bit-exact vs the gather.
     shifts = jnp.arange(-frame_window, frame_window + 1)           # (S,)
     S = shifts.shape[0]
     src = jnp.clip(frames[None, :] - shifts[:, None], 0, n_pred - 1)  # (S, N_F)
-    sx = obs_trajs[:, :, 0][:, src]                                # (n_obs, S, N_F)
-    sy = obs_trajs[:, :, 1][:, src]
-    sth = obs_trajs[:, :, 2][:, src]
-    obs_px, obs_py = _circle_points_soa(sx, sy, sth, circle_centers)
+    opx, opy = _circle_points_soa(
+        obs_trajs[:, :, 0], obs_trajs[:, :, 1], obs_trajs[:, :, 2],
+        circle_centers,
+    )                                                              # (n_obs, n_c, n_pred)
+    W = (src.reshape(-1)[:, None]
+         == jnp.arange(n_pred)[None, :]).astype(dtype)             # (S*N_F, n_pred)
+
+    def expand(a):
+        out = a.reshape(n_obs * n_c, n_pred) @ W.T                 # (., S*N_F)
+        return out.reshape(n_obs, n_c, S, n_frames).transpose(0, 2, 1, 3)
+
+    obs_px = expand(opx)
+    obs_py = expand(opy)
     # (n_obs, S, n_c, N_F)
 
     # frame-aligned pairwise hit test, laid out (n_obs, S, n_c_e, n_c_o, N_F)
