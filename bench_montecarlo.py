@@ -32,6 +32,9 @@ import numpy as np
 N_SCENARIOS = int(os.environ.get("MC_N", 10_000))
 CHUNK = int(os.environ.get("MC_CHUNK", 2048))
 N_STEPS = int(os.environ.get("MC_STEPS", 128))
+# MC_GEOM=1: sample per-scenario junction GEOMETRY (road/median/corner
+# radius) and plan every scenario on the device planner — no shared plans
+GEOM_MODE = os.environ.get("MC_GEOM", "0") == "1" 
 
 
 def main():
@@ -50,9 +53,14 @@ def main():
 
     rng = np.random.default_rng(2026)
     t0 = time.time()
-    geom, world_b, state_b, _meta = api.sample_intersection_fleet_batched(
-        N_SCENARIOS, rng, n_steps=N_STEPS
-    )
+    if GEOM_MODE:
+        geom, world_b, state_b, _meta = api.sample_intersection_fleet_geom(
+            N_SCENARIOS, rng, n_steps=N_STEPS, planner="device"
+        )
+    else:
+        geom, world_b, state_b, _meta = api.sample_intersection_fleet_batched(
+            N_SCENARIOS, rng, n_steps=N_STEPS
+        )
     t_build = time.time() - t0
     print(f"built {N_SCENARIOS} scenarios in {t_build:.1f}s",
           file=sys.stderr, flush=True)
@@ -146,7 +154,8 @@ def main():
     warm = chunk_times[1:]
     warm_ticks_per_s = (len(warm) * CHUNK * N_STEPS) / sum(warm)
     report = {
-        "metric": "montecarlo_fleet_10k",
+        "metric": ("montecarlo_geom_fleet_10k" if GEOM_MODE
+                   else "montecarlo_fleet_10k"),
         "n_scenarios": N_SCENARIOS,
         "n_steps": N_STEPS,
         "fleet_ticks": n_ticks,
@@ -166,6 +175,20 @@ def main():
         "device": str(jax.devices()[0]),
         "dtype": "float32",
     }
+    if GEOM_MODE:
+        st = dict(_meta["planner_stats"])
+        report["sampled_geometry"] = {
+            "road_range": [float(_meta["road"].min()),
+                           float(_meta["road"].max())],
+            "island_range": [float(_meta["island"].min()),
+                             float(_meta["island"].max())],
+            "corner_radius_range": [float(_meta["corner_radius"].min()),
+                                    float(_meta["corner_radius"].max())],
+            "n_unique_geometries": N_SCENARIOS,
+            "planner": st.get("planner"),
+            "n_device": int(st.get("n_device", 0)),
+            "n_host_fallback": int(st.get("n_host_fallback", 0)),
+        }
     out = json.dumps(report, indent=2)
     print(out)
     paths = [a for a in sys.argv[1:] if not a.startswith("--")]

@@ -280,13 +280,23 @@ def plan_courses_batch(
         traj_all = np.asarray(res.trajectory)
         out = []
         n_fallback = 0
+        from .lattice.astar import NoPathError
+
+        n_unplannable = 0
         for i, sc in enumerate(scenarios):
             if found[i]:
                 out.append(traj_all[i, : int(n_points[i])].astype(np.float64))
             else:
                 n_fallback += 1
-                out.append(plan_course(sc, geom, weights))
+                try:
+                    out.append(plan_course(sc, geom, weights))
+                except NoPathError:
+                    # genuinely unreachable goal (possible for sampled
+                    # geometries) — caller decides (None marks the slot)
+                    n_unplannable += 1
+                    out.append(None)
         stats = {
+            "n_unplannable": n_unplannable,
             "planner": "device",
             "n_device": len(scenarios) - n_fallback,
             "n_host_fallback": n_fallback,
@@ -402,11 +412,25 @@ def sample_intersection_fleet_batched(
             geom,
         )
         course_cache = dict(zip(keys, courses))
+    elif planner == "native":
+        # the C++ core releases the GIL during the ctypes call, so the
+        # <=12 unique plans run concurrently (they dominated the build:
+        # ~2 s each serial was most of MONTECARLO build_s)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(keys), 12)) as ex:
+            courses = list(ex.map(
+                lambda k: plan_course(
+                    intersection(turn_indicator=k[1], start_pos=k[0]),
+                    geom, use_native=True),
+                keys,
+            ))
+        course_cache = dict(zip(keys, courses))
     else:
         course_cache = {
             (s, t): plan_course(
                 intersection(turn_indicator=t, start_pos=s), geom,
-                use_native=(planner == "native"),
+                use_native=False,
             )
             for (s, t) in keys
         }
@@ -432,6 +456,185 @@ def sample_intersection_fleet_batched(
     key_pos = {k: i for i, k in enumerate(keys)}
     kidx = np.asarray([key_pos[d] for d in draws], np.int32)
 
+    world, state, present = _assemble_fleet_arrays(
+        courses_u, n_u, dl_u, goal_u, kidx, rng, cfg, n_steps, dtype)
+    meta = {
+        "start_pos": np.asarray([d[0] for d in draws], np.int32),
+        "turn_indicator": np.asarray([d[1] for d in draws], np.int32),
+        "n_agents": present.sum(axis=1).astype(np.int32),
+    }
+    return geom, world, state, meta
+
+
+def sample_intersection_fleet_geom(
+    n_scenarios: int,
+    rng: np.random.Generator,
+    cfg: Optional[EngineConfig] = None,
+    n_steps: int = 256,
+    starts=(1, 2, 3, 4),
+    turns=(1, 2, 3),
+    road_range=(3.4, 5.2),
+    island_range=(1.4, 3.0),
+    corner_radius_range=(5.0, 7.5),
+    planner: str = "device",
+    dtype=None,
+):
+    """Monte-Carlo fleet over sampled junction GEOMETRY — every scenario
+    gets its own (road width, median width, corner radius) drawn from the
+    given ranges (the reference hard-codes 4.0 / 2.0 / 6.0,
+    ``main/envs/intersection.py:11-17``), plus the usual start/turn and
+    stochastic arrival schedule.
+
+    With per-scenario geometry there are no shared plans to cache, so the
+    batch is planned ON DEVICE in one call (``plan_courses_batch``,
+    serial-A* VMEM kernel on TPU; exact host C++ fallback per miss) — the
+    only planning path that scales to thousands of unique junctions.
+
+    Returns stacked ``(geom, world_batch, state_batch, meta)`` like
+    ``sample_intersection_fleet_batched``; ``meta`` additionally carries
+    the sampled geometry arrays and the planner stats.
+    """
+    import jax.numpy as jnp
+
+    from .core.angles import smooth_yaw_numpy
+
+    # sampled junctions can be larger than the reference one -> longer
+    # courses; default to a 1.5x course buffer
+    cfg = cfg or EngineConfig(n_traj=1536)
+    geom = bicycle_geometry()
+    dtype = dtype or jnp.float32
+    S = n_scenarios
+    start_d = np.asarray([int(rng.choice(starts)) for _ in range(S)])
+    turn_d = np.asarray([int(rng.choice(turns)) for _ in range(S)])
+    road_d = rng.uniform(*road_range, size=S)
+    island_d = rng.uniform(*island_range, size=S)
+    corner_d = rng.uniform(*corner_radius_range, size=S)
+
+    scenarios = [
+        intersection(
+            turn_indicator=int(turn_d[i]), start_pos=int(start_d[i]),
+            road=float(road_d[i]), island=float(island_d[i]),
+            corner_radius=float(corner_d[i]),
+        )
+        for i in range(S)
+    ]
+    if planner == "device" and S > 1024:
+        # chunk the device planning: the serial-A* kernel's parent/prim
+        # result buffer is (batch, R, 128) int32 — ~1.9 GB per 1024
+        # scenarios; a single 10k launch exceeds HBM. One grid config is
+        # computed over the WHOLE batch so every chunk reuses the same
+        # compiled kernel (the last chunk is padded by repetition).
+        from .lattice import WavefrontConfig
+
+        wf_cfg = WavefrontConfig.for_scenarios(scenarios, ntheta=40)
+        if wf_cfg.n_cells * 28 > 80.0e6:
+            wf_cfg = WavefrontConfig.for_scenarios(scenarios, ntheta=32)
+        CH = 1024
+        courses = []
+        n_dev = n_fb = 0
+        for lo in range(0, S, CH):
+            chunk = scenarios[lo:lo + CH]
+            pad = CH - len(chunk)
+            out, st = plan_courses_batch(
+                chunk + [chunk[-1]] * pad, geom, planner=planner,
+                wavefront_cfg=wf_cfg,
+            )
+            courses.extend(out[: len(chunk)])
+            n_dev += int(st.get("n_device", 0)) - pad
+            n_fb += int(st.get("n_host_fallback", 0))
+        stats = {"planner": "device", "n_device": n_dev,
+                 "n_host_fallback": n_fb}
+    else:
+        from .lattice.astar import NoPathError as _NPE
+
+        courses = []
+        for sc in scenarios:
+            try:
+                courses.append(
+                    plan_course(sc, geom, use_native=(planner == "native")))
+            except _NPE:
+                courses.append(None)
+        stats = {"planner": planner, "n_device": 0, "n_host_fallback": 0}
+
+    # ~2% of sampled geometries are genuinely unplannable (narrow lane +
+    # large corner radius exceeds the primitive set's turning envelope) —
+    # redraw those scenarios' geometry until they plan (bounded retries)
+    from .lattice.astar import NoPathError
+
+    n_traj = cfg.n_traj
+    n_resampled = 0
+    for i in range(S):
+        tries = 0
+        # None = unplannable; over-length = junction too large for the
+        # course buffer — both get a fresh geometry draw
+        while (courses[i] is None or len(courses[i]) > n_traj) and tries < 8:
+            tries += 1
+            road_d[i] = rng.uniform(*road_range)
+            island_d[i] = rng.uniform(*island_range)
+            corner_d[i] = rng.uniform(*corner_radius_range)
+            sc = intersection(
+                turn_indicator=int(turn_d[i]), start_pos=int(start_d[i]),
+                road=float(road_d[i]), island=float(island_d[i]),
+                corner_radius=float(corner_d[i]),
+            )
+            try:
+                traj = plan_course(sc, geom, use_native=True)
+            except NoPathError:
+                continue
+            if len(traj) <= n_traj:
+                courses[i] = traj
+                n_resampled += 1
+        if courses[i] is None or len(courses[i]) > n_traj:
+            raise RuntimeError(
+                f"scenario {i} unplannable after {tries} geometry redraws")
+    stats = dict(stats)
+    stats["n_resampled_geometry"] = n_resampled
+    courses_u = np.zeros((S, n_traj, 3), np.float64)
+    n_u = np.zeros((S,), np.int32)
+    dl_u = np.zeros((S,), np.float64)
+    goal_u = np.zeros((S, 2), np.float64)
+    for i, course in enumerate(courses):
+        traj = np.asarray(course, np.float64).copy()
+        traj[:, 2] = smooth_yaw_numpy(traj[:, 2])
+        n = len(traj)
+        if n > n_traj:
+            raise ValueError(f"trajectory length {n} > n_traj={n_traj}")
+        courses_u[i, :n] = traj
+        courses_u[i, n:] = traj[-1]
+        n_u[i] = n
+        dl_u[i] = np.linalg.norm(traj[1, :2] - traj[0, :2])
+        goal_u[i] = traj[-1, :2]
+
+    kidx = np.arange(S, dtype=np.int32)
+    world, state, present = _assemble_fleet_arrays(
+        courses_u, n_u, dl_u, goal_u, kidx, rng, cfg, n_steps, dtype)
+    meta = {
+        "start_pos": start_d.astype(np.int32),
+        "turn_indicator": turn_d.astype(np.int32),
+        "road": road_d,
+        "island": island_d,
+        "corner_radius": corner_d,
+        "n_agents": present.sum(axis=1).astype(np.int32),
+        "planner_stats": stats,
+    }
+    return geom, world, state, meta
+
+
+def _assemble_fleet_arrays(courses_u, n_u, dl_u, goal_u, kidx, rng, cfg,
+                           n_steps, dtype):
+    """Shared assembly for the vectorized fleet builders: sample arrival
+    schedules (loop-builder-identical rng sequence), pack agents, gather
+    the per-scenario course rows, and build the stacked
+    (WorldArrays, EngineState). ``courses_u`` holds the UNIQUE padded
+    course rows and ``kidx`` maps scenarios to them (the sampled-geometry
+    variant passes one row per scenario with kidx = arange)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .engine.closed_loop import EngineState, WorldArrays
+    from .mpc.controller import init_controller_state
+
+    S = kidx.shape[0]
     # arrival schedules — same rng call sequence as the loop builder
     present = np.zeros((S, 2), bool)
     turning = np.zeros((S, 2), bool)
@@ -513,9 +716,4 @@ def sample_intersection_fleet_batched(
         ticks_to_goal=jnp.full((S,), n_steps, jnp.int32),
         tick=jnp.zeros((S,), jnp.int32),
     )
-    meta = {
-        "start_pos": np.asarray([d[0] for d in draws], np.int32),
-        "turn_indicator": np.asarray([d[1] for d in draws], np.int32),
-        "n_agents": present.sum(axis=1).astype(np.int32),
-    }
-    return geom, world, state, meta
+    return world, state, present

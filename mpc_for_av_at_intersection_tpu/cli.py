@@ -146,11 +146,15 @@ def _cmd_fleet(args):
 
     rng = np.random.default_rng(args.seed)
     t0 = time.perf_counter()
-    geom, worlds, states, meta = api.sample_intersection_fleet(
-        args.n, rng, n_steps=args.steps, planner=args.planner
-    )
+    if args.geom:
+        geom, wb, sb, meta = api.sample_intersection_fleet_geom(
+            args.n, rng, n_steps=args.steps, planner=args.planner
+        )
+    else:
+        geom, wb, sb, meta = api.sample_intersection_fleet_batched(
+            args.n, rng, n_steps=args.steps, planner=args.planner
+        )
     t_plan = time.perf_counter() - t0
-    wb, sb = stack_worlds(worlds), stack_states(states)
 
     import jax
 
@@ -238,6 +242,10 @@ def main(argv=None):
                    choices=["native", "device", "host"],
                    help="global planner: host C++ core, batched device "
                         "wavefront, or Python host search")
+    f.add_argument("--geom", action="store_true",
+                   help="sample per-scenario junction GEOMETRY (road / "
+                        "median / corner radius) — every scenario gets a "
+                        "unique junction; use --planner device at scale")
     f.set_defaults(fn=_cmd_fleet)
 
     s = sub.add_parser("sweep", help="MPC weight sensitivity sweep")

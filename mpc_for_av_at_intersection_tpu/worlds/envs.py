@@ -142,11 +142,18 @@ _HIDDEN_SIGNS: Dict[int, Dict[str, int]] = {
 }
 
 
-def intersection(turn_indicator: int, start_pos: int) -> Scenario:
+def intersection(turn_indicator: int, start_pos: int, road: float = 4.0,
+                 island: float = 2.0,
+                 corner_radius: float = CORNER_RADIUS) -> Scenario:
     """Single-lane unsignalized 4-way intersection
-    (reference ``main/envs/intersection.py:10-216``)."""
-    road, island = 4.0, 2.0
-    dc = CORNER_RADIUS + road + island
+    (reference ``main/envs/intersection.py:10-216``).
+
+    ``road`` (lane width), ``island`` (median width), and
+    ``corner_radius`` are the junction's geometric parameters (reference
+    intersection.py:11-17 hard-codes 4.0 / 2.0 / 6.0 — the defaults
+    here); varying them yields a sampled-geometry family for Monte-Carlo
+    studies (``api.sample_intersection_fleet_geom``)."""
+    dc = corner_radius + road + island
     lane_c = island / 2 + road / 2
     goal_c = (island + road) / 2
     starts, goals = _cross_goal_tables(lane_c, goal_c, 30.0)

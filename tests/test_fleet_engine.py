@@ -110,3 +110,18 @@ def test_batched_fleet_builder_matches_loop_builder():
         meta["start_pos"], [m["start_pos"] for m in meta_l])
     np.testing.assert_array_equal(
         meta["n_agents"], [m["n_agents"] for m in meta_l])
+
+
+def test_sampled_geometry_fleet_reaches_goals():
+    """sample_intersection_fleet_geom: per-scenario junction geometry
+    (road / median / corner radius sampled), planned per scenario, runs
+    closed-loop to the goal."""
+    rng = np.random.default_rng(11)
+    geom, wb, sb, meta = api.sample_intersection_fleet_geom(
+        3, rng, n_steps=220, planner="native")
+    # geometries actually vary
+    assert len(set(np.round(meta["road"], 3))) == 3
+    cfg = EngineConfig()
+    final, tel, _ = run_batch_episodes(wb, sb, cfg, geom, 220)
+    assert np.asarray(final.done).all(), np.asarray(final.ticks_to_goal)
+    assert (~np.asarray(tel.solved)).sum() == 0
