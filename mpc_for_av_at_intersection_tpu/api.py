@@ -69,17 +69,27 @@ class DriverSetup:
 def plan_course(
     scenario, geom: VehicleGeometry, weights: SearchWeights = SearchWeights.modified(),
     use_native: bool = True,
+    max_expansions: Optional[int] = None,
 ) -> np.ndarray:
     """Global plan via the lattice search — the native C++ core when a
     toolchain is available (verified bit-exact vs the Python oracle),
-    otherwise the Python implementation."""
+    otherwise the Python implementation.
+
+    ``max_expansions`` caps the native search's budget (default 2M).
+    Sampling contexts pass a small cap: a plannable junction needs a few
+    hundred expansions (~3 ms) while an UNPLANNABLE one exhausts the full
+    default budget (~24 s measured) — the dominant cost of Monte-Carlo
+    geometry sampling without the cap."""
     table = primitive_table(geom)
     if use_native:
         from .native import NativeMotionPrimitiveSearch, native_available
 
         if native_available():
+            kw = ({"max_expansions": int(max_expansions)}
+                  if max_expansions else {})
             search = NativeMotionPrimitiveSearch(
-                scenario, geom, table, margin=geom.radius, weights=weights
+                scenario, geom, table, margin=geom.radius, weights=weights,
+                **kw,
             )
             _, _, trajectory = search.run()
             return trajectory
@@ -257,6 +267,7 @@ def plan_courses_batch(
     weights: SearchWeights = SearchWeights.modified(),
     planner: str = "device",
     wavefront_cfg=None,
+    max_expansions: int = 8192,
 ):
     """Plan a batch of scenarios' global courses.
 
@@ -273,28 +284,46 @@ def plan_courses_batch(
         from .lattice import plan_courses_device
 
         res = plan_courses_device(
-            scenarios, geom, weights=weights, cfg=wavefront_cfg
+            scenarios, geom, weights=weights, cfg=wavefront_cfg,
+            max_expansions=max_expansions,
         )
         found = np.asarray(res.found)
         n_points = np.asarray(res.n_points)
         traj_all = np.asarray(res.trajectory)
         out = []
         n_fallback = 0
+        from concurrent.futures import ThreadPoolExecutor
+
         from .lattice.astar import NoPathError
 
+        def host_plan(sc):
+            try:
+                return plan_course(sc, geom, weights, max_expansions=150_000)
+            except NoPathError:
+                # genuinely unreachable goal (possible for sampled
+                # geometries) — caller decides (None marks the slot)
+                return None
+
+        # host fallbacks run concurrently (the C++ core releases the GIL)
+        miss_idx = [i for i in range(len(scenarios)) if not found[i]]
+        if miss_idx:
+            import sys as _sys
+
+            print(f"plan_courses_batch: {len(miss_idx)}/{len(scenarios)} "
+                  "host fallbacks", file=_sys.stderr, flush=True)
+            with ThreadPoolExecutor(max_workers=12) as ex:
+                fb = list(ex.map(lambda i: host_plan(scenarios[i]), miss_idx))
+        fb_map = dict(zip(miss_idx, fb)) if miss_idx else {}
         n_unplannable = 0
-        for i, sc in enumerate(scenarios):
+        for i in range(len(scenarios)):
             if found[i]:
                 out.append(traj_all[i, : int(n_points[i])].astype(np.float64))
             else:
                 n_fallback += 1
-                try:
-                    out.append(plan_course(sc, geom, weights))
-                except NoPathError:
-                    # genuinely unreachable goal (possible for sampled
-                    # geometries) — caller decides (None marks the slot)
+                tr = fb_map[i]
+                if tr is None:
                     n_unplannable += 1
-                    out.append(None)
+                out.append(tr)
         stats = {
             "n_unplannable": n_unplannable,
             "planner": "device",
@@ -538,6 +567,11 @@ def sample_intersection_fleet_geom(
             out, st = plan_courses_batch(
                 chunk + [chunk[-1]] * pad, geom, planner=planner,
                 wavefront_cfg=wf_cfg,
+                # sampled junctions are up to ~30% more grid cells than
+                # the default geometry the 8192 default was tuned on; a
+                # larger budget turns host fallbacks (seconds each) into
+                # kernel iterations (microseconds each)
+                max_expansions=20000,
             )
             courses.extend(out[: len(chunk)])
             n_dev += int(st.get("n_device", 0)) - pad
@@ -551,7 +585,8 @@ def sample_intersection_fleet_geom(
         for sc in scenarios:
             try:
                 courses.append(
-                    plan_course(sc, geom, use_native=(planner == "native")))
+                    plan_course(sc, geom, use_native=(planner == "native"),
+                                max_expansions=150_000))
             except _NPE:
                 courses.append(None)
         stats = {"planner": planner, "n_device": 0, "n_host_fallback": 0}
@@ -578,7 +613,8 @@ def sample_intersection_fleet_geom(
                 corner_radius=float(corner_d[i]),
             )
             try:
-                traj = plan_course(sc, geom, use_native=True)
+                traj = plan_course(sc, geom, use_native=True,
+                                   max_expansions=150_000)
             except NoPathError:
                 continue
             if len(traj) <= n_traj:
