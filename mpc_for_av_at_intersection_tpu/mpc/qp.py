@@ -665,18 +665,33 @@ def solve_box_qp_lanes(
     polish: bool = True,
     stall_cap: float = 0.0,
     stall_ratio: float = 0.5,
+    fused: bool = True,
 ) -> QPSolution:
     """Fully lanes-resident solve: in-kernel Ruiz + warm-started adaptive
-    ADMM (one launch) then the two-attempt polish (one launch), with the
-    big QP tensors never leaving the kernel-native layout. ``warm`` is the
-    previous tick's (x, y, rho) in standard (B, ...) layout, padded to a
-    full lane block; the returned ``rho`` feeds the next tick's warm."""
+    ADMM + the two-attempt polish — by default as ONE fused launch
+    (``solve_polish_fused_pallas``: P/G stream from HBM once and x/y/prim
+    never leave VMEM between the phases), with the two-launch pipeline
+    kept behind ``fused=False`` as the A/B twin. ``warm`` is the previous
+    tick's (x, y, rho) in standard (B, ...) layout, padded to a full lane
+    block; the returned ``rho`` feeds the next tick's warm."""
     from ..ops.admm_pallas import (
         polish_select_pallas_lanes,
         ruiz_admm_all_rounds_pallas,
+        solve_polish_fused_pallas,
     )
 
     with jax.default_matmul_precision("float32"):
+        if polish and fused:
+            xp, yp, ok, prim_out, dual, rho_f, checks = (
+                solve_polish_fused_pallas(
+                    P_l, G_l, q_l, lo_l, hi_l, rounds, iters, rho0, sigma,
+                    alpha, interpret=interpret, warm=warm, eps=eps,
+                    refactor_band=refactor_band,
+                    stall_cap=stall_cap, stall_ratio=stall_ratio,
+                ))
+            return QPSolution(
+                xp[:B0], yp[:B0], ok[:B0], prim_out[:B0], dual[:B0],
+                rho=rho_f[:B0], checks=checks[:B0])
         x, y, prim, dual, rho_f, checks = ruiz_admm_all_rounds_pallas(
             P_l, G_l, q_l, lo_l, hi_l, rounds, iters, rho0, sigma, alpha,
             interpret=interpret, warm=warm, eps=eps,

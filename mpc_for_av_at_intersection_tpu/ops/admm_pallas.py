@@ -539,14 +539,29 @@ def _ruiz_admm_kernel(n: int, m: int, ruiz_iters: int, max_checks: int,
     warm-starts the linearization controls the same way). z is re-derived
     in-kernel as clip(Gs xs, lo, hi), so the carried state is just (x, y,
     rho). With cold inputs the math is identical to the round-4 kernel."""
+    f32 = jnp.float32
+    x, y, prim, dual, rho_f, checks_v = _ruiz_admm_body(
+        n, m, ruiz_iters, max_checks, check_iters, sigma, alpha,
+        conv_eps, band, stall_cap, stall_ratio,
+        P[0], G[0], q[0], lo[0], hi[0], xw[0], yw[0], rho_in[0][0],
+        Ps_ref, Gs_ref, M_ref, Y_ref, Mi_ref)
+    xo[0] = x
+    yo[0] = y
+    po[0] = jnp.stack([prim, dual, rho_f, checks_v], axis=0)
+
+
+def _ruiz_admm_body(n, m, ruiz_iters, max_checks, check_iters, sigma, alpha,
+                    conv_eps, band, stall_cap, stall_ratio,
+                    P0, G0, qv, lo0, hi0, xw0, yw0, rho0_v,
+                    Ps_ref, Gs_ref, M_ref, Y_ref, Mi_ref):
+    """Ruiz + the adaptive warm-started ADMM phase over VMEM values/refs
+    (shared by the standalone launch and the fused solve+polish kernel).
+    Returns UNSCALED (x (n,128), y (m,128), prim, dual, rho_f, checks)."""
     import jax.experimental.pallas as pl
 
     f32 = jnp.float32
     rvec_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
-    P0 = P[0]                                  # (n, n, 128)
-    G0 = G[0]                                  # (m, n, 128)
-    qv = q[0]
     eps = f32(1e-8)
 
     absP = jnp.abs(P0)
@@ -578,8 +593,8 @@ def _ruiz_admm_kernel(n: int, m: int, ruiz_iters: int, max_checks: int,
     Ps_ref[:] = c[None, None, :] * d[:, None, :] * d[None, :, :] * P0
     Gs_ref[:] = e[:, None, :] * d[None, :, :] * G0
     qs = c[None, :] * d * qv
-    los = e * lo[0]
-    his = e * hi[0]
+    los = e * lo0
+    his = e * hi0
 
     Psv = Ps_ref[:]
     Gsv = Gs_ref[:]
@@ -613,10 +628,9 @@ def _ruiz_admm_kernel(n: int, m: int, ruiz_iters: int, max_checks: int,
         _gram_from_y(Y_ref, Mi_ref, n)
 
     # warm start, scaled into the equilibrated problem
-    x0 = xw[0] / d
-    y0 = (c[None, :] * yw[0]) / e
+    x0 = xw0 / d
+    y0 = (c[None, :] * yw0) / e
     z0 = jnp.clip(mv(Gsv, x0), los, his)
-    rho0_v = rho_in[0][0]                      # (128,)
 
     # Per-LANE adaptive policy, exactly mirroring the per-scenario XLA
     # twin under vmap (tested equivalence engine-fleet vs vmapped-engine
@@ -718,9 +732,7 @@ def _ruiz_admm_kernel(n: int, m: int, ruiz_iters: int, max_checks: int,
         jax.lax.while_loop(check_cond, check_body, carry0))
 
     # unscale back to the original problem
-    xo[0] = d * x
-    yo[0] = (e * y) / c[None, :]
-    po[0] = jnp.stack([prim, dual, rho_f, checks_v], axis=0)
+    return (d * x, (e * y) / c[None, :], prim, dual, rho_f, checks_v)
 
 
 def ruiz_admm_all_rounds_pallas(
@@ -820,6 +832,141 @@ def ruiz_admm_all_rounds_pallas(
             pk[:, 0], pk[:, 1], pk[:, 2], pk[:, 3])
 
 
+def _solve_polish_kernel(n: int, m: int, ruiz_iters: int, max_checks: int,
+                         check_iters: int, sigma: float, alpha: float,
+                         conv_eps: float, band: float,
+                         stall_cap: float, stall_ratio: float,
+                         act_tol_rel: float,
+                         P, G, q, lo, hi, xw, yw, rho_in,
+                         xo, yo, po,
+                         Ps_ref, Gs_ref, M_ref, Y_ref, Mi_ref,
+                         S_ref, X2_ref, Y2_ref, ok2_ref):
+    """The ENTIRE solve as one launch: in-kernel Ruiz + warm-started
+    adaptive ADMM (``_ruiz_admm_body``) immediately followed by the
+    two-attempt active-set polish (``_polish_body``) on the same
+    VMEM-resident inputs. Versus the two-launch pipeline this streams the
+    (B, n, n) P and (B, m, n) G from HBM ONCE instead of twice (~78 MB/
+    launch at B=4096) and skips the x/y/prim lanes->(B,...)->lanes
+    round-trip between launches. Scratch reuse: M_ref doubles as the
+    polish's Lp, Gs_ref (same (m, n, 128) shape) as Vt; the ADMM contents
+    of both are dead once the phase returns."""
+    f32 = jnp.float32
+    x, y, prim, dual, rho_f, checks_v = _ruiz_admm_body(
+        n, m, ruiz_iters, max_checks, check_iters, sigma, alpha,
+        conv_eps, band, stall_cap, stall_ratio,
+        P[0], G[0], q[0], lo[0], hi[0], xw[0], yw[0], rho_in[0][0],
+        Ps_ref, Gs_ref, M_ref, Y_ref, Mi_ref)
+    xp, yp, ok, prim_out = _polish_body(
+        n, m, act_tol_rel, P[0], G, q[0], lo[0], hi[0], x, y, prim,
+        Lp_ref=M_ref, Y_ref=Y_ref, Vt_ref=Gs_ref, S_ref=S_ref,
+        X2_ref=X2_ref, Y2_ref=Y2_ref, ok2_ref=ok2_ref)
+    xo[0] = xp
+    yo[0] = yp
+    po[0] = jnp.stack(
+        [ok.astype(f32), prim_out, dual, rho_f, checks_v], axis=0)
+
+
+def solve_polish_fused_pallas(
+    P_l,    # (Bt, n, n, LANES) UNSCALED, lanes layout
+    G_l,    # (Bt, m, n, LANES)
+    q_l,    # (Bt, n, LANES)
+    lo_l,   # (Bt, m, LANES)
+    hi_l,   # (Bt, m, LANES)
+    rounds: int,
+    iters: int,
+    rho0: float,
+    sigma: float,
+    alpha: float,
+    ruiz_iters: int = 10,
+    interpret: bool = False,
+    warm=None,
+    eps: float = 0.0,
+    refactor_band: float = 0.0,
+    stall_cap: float = 0.0,
+    stall_ratio: float = 0.5,
+    act_tol_rel: float = 1e-4,
+):
+    """One-launch Ruiz + adaptive ADMM + polish on lanes-layout UNSCALED
+    inputs. Returns (x, y, ok, prim_out, dual, rho, checks), all (B, ...)
+    unpadded by the caller; semantics identical to
+    ``ruiz_admm_all_rounds_pallas`` + ``polish_select_pallas_lanes``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Bt, n = P_l.shape[0], P_l.shape[1]
+    m = G_l.shape[1]
+    B = Bt * LANES
+
+    def t_vec(a, r):
+        return a.reshape(Bt, LANES, r).transpose(0, 2, 1)
+
+    if warm is None:
+        xw = jnp.zeros((Bt, n, LANES), jnp.float32)
+        yw = jnp.zeros((Bt, m, LANES), jnp.float32)
+        rw = jnp.full((Bt, 1, LANES), float(rho0), jnp.float32)
+    else:
+        x0, y0, rho_w = warm
+        xw = t_vec(x0, n)
+        yw = t_vec(y0, m)
+        rw = rho_w.reshape(Bt, 1, LANES)
+
+    def spec(shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda b: (b,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        spec((n, n, LANES)), spec((m, n, LANES)),
+        spec((n, LANES)), spec((m, LANES)), spec((m, LANES)),
+        spec((n, LANES)), spec((m, LANES)), spec((1, LANES)),
+    ]
+    out_specs = (
+        spec((n, LANES)), spec((m, LANES)), spec((5, LANES)),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((Bt, n, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((Bt, m, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((Bt, 5, LANES), jnp.float32),
+    )
+
+    kern = functools.partial(
+        _solve_polish_kernel, n, m, int(ruiz_iters), int(rounds),
+        int(iters), float(sigma), float(alpha), float(eps),
+        float(refactor_band), float(stall_cap), float(stall_ratio),
+        float(act_tol_rel))
+    xo, yo, po = pl.pallas_call(
+        kern,
+        grid=(Bt,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((n, n, LANES), jnp.float32),   # Ps
+            pltpu.VMEM((m, n, LANES), jnp.float32),   # Gs / Vt
+            pltpu.VMEM((n, n, LANES), jnp.float32),   # M / L / Lp
+            pltpu.VMEM((n, n, LANES), jnp.float32),   # Y
+            pltpu.VMEM((n, n, LANES), jnp.float32),   # Minv
+            pltpu.VMEM((m, m, LANES), jnp.float32),   # S / chol(S)
+            pltpu.VMEM((n, LANES), jnp.float32),      # attempt-2 x
+            pltpu.VMEM((m, LANES), jnp.float32),      # attempt-2 y
+            pltpu.VMEM((1, LANES), jnp.float32),      # attempt-2 ok
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=80 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*[a.astype(jnp.float32)
+        for a in (P_l, G_l, q_l, lo_l, hi_l, xw, yw, rw)])
+
+    def u_vec(a, r):
+        return a.transpose(0, 2, 1).reshape(B, r)
+
+    pk = u_vec(po, 5)
+    return (u_vec(xo, n), u_vec(yo, m), pk[:, 0] > 0.5, pk[:, 1],
+            pk[:, 2], pk[:, 3], pk[:, 4])
+
+
 def _tri_inverse_fsub(L_ref, Y_ref, size: int):
     """Y = L^-1 by forward substitution into Y_ref; row j of Y reads only
     rows < j (static slices under Python unroll: half the masked work)."""
@@ -862,6 +1009,23 @@ def _polish_kernel(n: int, m: int, act_tol_rel: float,
                    Lp_ref, Y_ref, Vt_ref, S_ref, X2_ref, Y2_ref, ok2_ref):
     """Two-attempt active-set polish for 128 scenarios, entirely in VMEM.
 
+    Thin launch wrapper around ``_polish_body`` (shared with the fused
+    solve+polish kernel)."""
+    f32 = jnp.float32
+    x_out, y_out, ok, prim_out = _polish_body(
+        n, m, act_tol_rel, P[0], G, q[0], lo[0], hi[0],
+        x0[0], y0[0], prim0[0][0],
+        Lp_ref, Y_ref, Vt_ref, S_ref, X2_ref, Y2_ref, ok2_ref)
+    xo[0] = x_out
+    yo[0] = y_out
+    po[0] = jnp.stack([ok.astype(f32), prim_out], axis=0)
+
+
+def _polish_body(n, m, act_tol_rel, P0, Gref, qv, lov, hiv, xin, yin,
+                 prim_in,
+                 Lp_ref, Y_ref, Vt_ref, S_ref, X2_ref, Y2_ref, ok2_ref):
+    """Two-attempt active-set polish over VMEM values/refs.
+
     Semantic twin of ``mpc.qp._polish_and_select`` (the XLA path): factor P
     once (lanes-Cholesky + explicit L^-1 so P^-1 v = Y'(Y v) is two
     matvecs), build Vt = G Y' so the Schur matrix is S = D Vt Vt' D +
@@ -869,7 +1033,8 @@ def _polish_kernel(n: int, m: int, act_tol_rel: float,
     KKT solves (initial + one iterative-refinement pass). The XLA polish
     was 46% of the controller tick (PROFILE.md round 3) — all batched
     (B, m, m) Cholesky + Gram HBM round-trips; here the per-128-scenario
-    working set (~6.5 MB) never leaves VMEM."""
+    working set (~6.5 MB) never leaves VMEM. Returns
+    (x_out (n,128), y_out (m,128), ok (128,) bool, prim_out (128,))."""
     import jax.experimental.pallas as pl
 
     f32 = jnp.float32
@@ -879,15 +1044,9 @@ def _polish_kernel(n: int, m: int, act_tol_rel: float,
     row_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1, 1), 0)
     col_m = jax.lax.broadcasted_iota(jnp.int32, (1, m, 1), 1)
     rvec_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-
-    P0 = P[0]                                   # (n, n, 128)
-    G0 = G[0]                                   # (m, n, 128)
-    qv = q[0]                                   # (n, 128)
-    lov = lo[0]
-    hiv = hi[0]
-    xin = x0[0]
-    yin = y0[0]
-    prim_in = prim0[0][0]                       # (128,)
+    # Gref is a REF (leading block axis) — row slices of it feed the Vt
+    # build without materializing gathers (Mosaic cannot ds VALUES)
+    G0 = Gref[0]                                # (m, n, 128)
 
     def mv(Mat, v):      # (r, c, 128) @ (c, 128) -> (r, 128)
         return jnp.sum(Mat * v[None, :, :], axis=1)
@@ -927,7 +1086,7 @@ def _polish_kernel(n: int, m: int, act_tol_rel: float,
         return mvT(Yv, mv(Yv, v))
 
     def vt_row(j, _):
-        grow = G[0, pl.ds(j, 1), :, :][0]                       # (n, 128)
+        grow = Gref[0, pl.ds(j, 1), :, :][0]                    # (n, 128)
         Vt_ref[pl.ds(j, 1)] = mv(Y_ref[:], grow)[None]
         return _
 
@@ -1039,10 +1198,7 @@ def _polish_kernel(n: int, m: int, act_tol_rel: float,
         jnp.maximum(jnp.maximum(Gx_out - hiv, lov - Gx_out), 0.0), axis=0
     )
     prim_out = jnp.where(ok, viol_out, jnp.maximum(prim_in, viol_out))
-
-    xo[0] = x_out
-    yo[0] = y_out
-    po[0] = jnp.stack([ok.astype(f32), prim_out], axis=0)
+    return x_out, y_out, ok, prim_out
 
 
 def polish_select_pallas(
