@@ -360,3 +360,42 @@ def test_mpc_step_warm_carry_across_ticks():
     # tolerance; the bulk must agree tightly, every row loosely
     assert np.quantile(da, 0.95) < 2e-3 and np.quantile(ds, 0.95) < 2e-3
     assert da.max() < 2e-2 and ds.max() < 2e-2
+
+
+def test_fused_solve_polish_matches_two_launch():
+    """The single-launch Ruiz+ADMM+polish kernel must be BIT-identical to
+    the two-launch pipeline it fused (same op sequence, shared bodies)."""
+    from mpc_for_av_at_intersection_tpu.mpc.qp import solve_box_qp_lanes
+    from mpc_for_av_at_intersection_tpu.ops.admm_pallas import LANES
+
+    rng = np.random.default_rng(12)
+    B, n, m = 128, 6, 9
+    P, q, G, lo, hi = _random_batch(rng, B, n, m)
+    Bt = B // LANES
+
+    def t_mat(a, r, c):
+        return a.reshape(Bt, LANES, r, c).transpose(0, 2, 3, 1)
+
+    def t_vec(a, r):
+        return a.reshape(Bt, LANES, r).transpose(0, 2, 1)
+
+    args = (t_mat(P, n, n), t_vec(q, n), t_mat(G, m, n),
+            t_vec(lo, m), t_vec(hi, m))
+    kw = dict(rounds=16, iters=32, eps=1e-4, refactor_band=5.0,
+              stall_cap=1e-3, stall_ratio=0.5, interpret=True)
+    a = solve_box_qp_lanes(*args, B0=B, fused=True, **kw)
+    b = solve_box_qp_lanes(*args, B0=B, fused=False, **kw)
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+    np.testing.assert_array_equal(np.asarray(a.y), np.asarray(b.y))
+    np.testing.assert_array_equal(np.asarray(a.polished), np.asarray(b.polished))
+    np.testing.assert_array_equal(np.asarray(a.prim_res), np.asarray(b.prim_res))
+    np.testing.assert_array_equal(np.asarray(a.checks), np.asarray(b.checks))
+    np.testing.assert_array_equal(np.asarray(a.rho), np.asarray(b.rho))
+
+    # warm-started path too
+    aw = solve_box_qp_lanes(*args, B0=B, fused=True,
+                            warm=(a.x, a.y, a.rho), **kw)
+    bw = solve_box_qp_lanes(*args, B0=B, fused=False,
+                            warm=(a.x, a.y, a.rho), **kw)
+    np.testing.assert_array_equal(np.asarray(aw.x), np.asarray(bw.x))
+    np.testing.assert_array_equal(np.asarray(aw.checks), np.asarray(bw.checks))
