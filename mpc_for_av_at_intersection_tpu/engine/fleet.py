@@ -41,7 +41,7 @@ def engine_tick_fleet(
     geom: VehicleGeometry,
     use_pallas: bool = True,
     interpret: bool = False,
-    pre_chunk: int = 1024,
+    pre_chunk: int = 0,
 ):
     dt = cfg.mpc.dt
     B = st.ego.shape[0]
@@ -64,11 +64,14 @@ def engine_tick_fleet(
     )
     chunk = best_pre_chunk(B, pre_chunk) if pre_chunk else B
     if chunk < B:
-        # large fleets: run the pre stage in lax.map chunks. Composed with
-        # the solver kernels, XLA stops fusing the whole-batch conflict
-        # scan and materializes its (B, n_obs, S, 2, 2, F) intermediates
-        # (measured: 285 ms/tick at B=4096 vs 4 x the B=1024 tick = 145);
-        # per-chunk the scan stays one fusion (285 -> 164 ms measured).
+        # round-4 fix, now OFF by default: composed with the solver
+        # kernels, XLA used to stop fusing the whole-batch conflict scan
+        # and materialize its (B, n_obs, S, 2, 2, F) intermediates
+        # (measured then: 285 ms/tick at B=4096 vs 164 chunked). The
+        # round-5 conflict scan (circle points at pred-frame resolution +
+        # static one-hot matmul expansion) no longer defuses — unchunked
+        # measures FASTER (B=4096: 47.5 vs 50.7 ms; B=8192: 87.7 vs 94.4)
+        # and scales linearly. The machinery stays for regression safety.
         nC = B // chunk
 
         def chunkit(a):
