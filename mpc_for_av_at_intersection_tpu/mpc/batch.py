@@ -121,6 +121,7 @@ def mpc_step_batched(
                 alpha=cfg.admm_alpha, interpret=interpret,
                 warm=warm_p, eps=s_eps, refactor_band=s_band,
                 stall_cap=s_cap, stall_ratio=s_ratio,
+                ruiz_iters=cfg.admm_ruiz_iters,
             )
         else:
             sol = solve_box_qp_batched(
@@ -130,6 +131,7 @@ def mpc_step_batched(
                 polish=cfg.polish, use_pallas=use_pallas, interpret=interpret,
                 warm=warm, eps=s_eps, refactor_band=s_band,
                 stall_cap=s_cap, stall_ratio=s_ratio,
+                ruiz_iters=cfg.admm_ruiz_iters,
             )
         warm = (sol.x, sol.y, sol.rho) if cfg.warm_start_qp else None
         # jerk variant: decision vector is [u_flat (2T); a0] — controls are

@@ -164,6 +164,7 @@ def mpc_step(
             polish=cfg.polish,
             warm=warm, eps=s_eps, refactor_band=s_band,
             stall_cap=s_cap, stall_ratio=s_ratio,
+            ruiz_iters=cfg.admm_ruiz_iters,
         )
         # re-linearization iterations warm from the solve just done
         warm = (sol.x, sol.y, sol.rho) if cfg.warm_start_qp else None

@@ -162,6 +162,7 @@ def mpc_step_jerk(
             polish=cfg.polish,
             warm=warm, eps=s_eps, refactor_band=s_band,
             stall_cap=s_cap, stall_ratio=s_ratio,
+            ruiz_iters=cfg.admm_ruiz_iters,
         )
         warm = (sol.x, sol.y, sol.rho) if cfg.warm_start_qp else None
         u = sol.x[: 2 * T].reshape(T, 2)

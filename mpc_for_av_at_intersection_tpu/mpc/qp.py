@@ -253,6 +253,7 @@ def solve_box_qp(
     refactor_band: float = 0.0,  # rho drift band (<= 1 = refactor always)
     stall_cap: float = 0.0,      # stall-exit score cap (0 = off)
     stall_ratio: float = 0.5,    # min per-block improvement factor
+    ruiz_iters: int = 10,
 ) -> QPSolution:
     """Solve one dense box-QP (vmap over a leading batch axis to batch).
 
@@ -272,21 +273,21 @@ def solve_box_qp(
         return _solve_box_qp_impl(
             P, q, G, lo, hi, rounds, iters, rho0, sigma, alpha,
             polish, act_tol_rel, scale, warm, eps, refactor_band,
-            stall_cap, stall_ratio,
+            stall_cap, stall_ratio, ruiz_iters,
         )
 
 
 def _solve_box_qp_impl(
     P, q, G, lo, hi, rounds, iters, rho0, sigma, alpha,
     polish, act_tol_rel, scale, warm=None, eps=0.0, refactor_band=0.0,
-    stall_cap=0.0, stall_ratio=0.5,
+    stall_cap=0.0, stall_ratio=0.5, ruiz_iters=10,
 ) -> QPSolution:
     n = P.shape[0]
     m = G.shape[0]
     dtype = P.dtype
 
     if scale:
-        d, e, c = _ruiz_equilibrate(P, q, G)
+        d, e, c = _ruiz_equilibrate(P, q, G, iters=ruiz_iters)
         Ps = (c * d[:, None]) * P * d[None, :]
         qs = c * d * q
         Gs = e[:, None] * G * d[None, :]
@@ -429,6 +430,7 @@ def solve_box_qp_batched(
     refactor_band: float = 0.0,
     stall_cap: float = 0.0,
     stall_ratio: float = 0.5,
+    ruiz_iters: int = 10,
 ) -> QPSolution:
     """Natively batched solver: same algorithm as ``solve_box_qp``. The
     Pallas path re-lays the batch into the kernel-native lanes layout and
@@ -439,14 +441,14 @@ def solve_box_qp_batched(
         return _solve_box_qp_batched_impl(
             P, q, G, lo, hi, rounds, iters, rho0, sigma, alpha,
             polish, use_pallas, interpret, warm, eps, refactor_band,
-            stall_cap, stall_ratio,
+            stall_cap, stall_ratio, ruiz_iters,
         )
 
 
 def _solve_box_qp_batched_impl(
     P, q, G, lo, hi, rounds, iters, rho0, sigma, alpha,
     polish, use_pallas, interpret, warm=None, eps=0.0, refactor_band=0.0,
-    stall_cap=0.0, stall_ratio=0.5,
+    stall_cap=0.0, stall_ratio=0.5, ruiz_iters=10,
 ) -> QPSolution:
     from ..ops.admm_pallas import LANES
 
@@ -488,9 +490,11 @@ def _solve_box_qp_batched_impl(
             alpha=alpha, interpret=interpret, warm=warm_p, eps=eps,
             refactor_band=refactor_band, polish=polish,
             stall_cap=stall_cap, stall_ratio=stall_ratio,
+            ruiz_iters=ruiz_iters,
         )
 
-    d, e, c = jax.vmap(_ruiz_equilibrate)(P, q, G)
+    d, e, c = jax.vmap(lambda P_, q_, G_: _ruiz_equilibrate(
+        P_, q_, G_, iters=ruiz_iters))(P, q, G)
     Ps = (c[:, None, None] * d[:, :, None]) * P * d[:, None, :]
     qs = c[:, None] * d * q
     Gs = e[:, :, None] * G * d[:, None, :]
@@ -666,6 +670,7 @@ def solve_box_qp_lanes(
     stall_cap: float = 0.0,
     stall_ratio: float = 0.5,
     fused: bool = True,
+    ruiz_iters: int = 10,
 ) -> QPSolution:
     """Fully lanes-resident solve: in-kernel Ruiz + warm-started adaptive
     ADMM + the two-attempt polish — by default as ONE fused launch
@@ -688,6 +693,7 @@ def solve_box_qp_lanes(
                     alpha, interpret=interpret, warm=warm, eps=eps,
                     refactor_band=refactor_band,
                     stall_cap=stall_cap, stall_ratio=stall_ratio,
+                    ruiz_iters=ruiz_iters,
                 ))
             return QPSolution(
                 xp[:B0], yp[:B0], ok[:B0], prim_out[:B0], dual[:B0],
@@ -697,6 +703,7 @@ def solve_box_qp_lanes(
             interpret=interpret, warm=warm, eps=eps,
             refactor_band=refactor_band,
             stall_cap=stall_cap, stall_ratio=stall_ratio,
+            ruiz_iters=ruiz_iters,
         )
         if not polish:
             return QPSolution(
